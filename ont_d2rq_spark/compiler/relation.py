@@ -1,0 +1,591 @@
+"""Mapping → DataFrame compiler: the Spark analogue of D2RQ's algebra layer.
+
+Reference layout (see SURVEY.md §0 provenance note):
+  algebra/TripleRelation.java  — (SQL relation + S/P/O NodeMakers)
+  algebra/Relation.java        — projections/joins/condition/order/limit
+  nodes/TypedNodeMaker.java, values/{Column,Pattern,SQLExpression,
+  BlankNodeID,Translator,ValueDecorator}.java — node/value makers
+  algebra/{AliasMap,Join,JoinOptimizer}.java — aliases, joins, self-join elim
+
+Differences by design (Spark-first, not a port):
+  * A "relation" here is a lazily-built DataFrame DAG; Catalyst does
+    projection pruning, predicate pushdown and join planning, so this
+    compiler only decides WHAT to join/filter/mint, never how.
+  * Node binding (find(s,p,o) with constants) happens at plan time in
+    Python — pattern inversion yields typed equality constraints that
+    reach the parquet scan as pushed filters.
+  * Union batching (CompatibleRelationGroup) becomes bridge FUSION:
+    bridges over the identical relation are evaluated in ONE scan via
+    explode(array(struct(...))) — one pass over the table emits all its
+    triples.  This is the main 100-TB throughput lever: a table with N
+    bridges is read once, not N times.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ont_d2rq_spark.functions.lexical import datatype_for, lexical_expr
+from ont_d2rq_spark.functions.pattern import UriPattern
+from ont_d2rq_spark.mapping.model import (
+    ClassMap,
+    Join,
+    Mapping,
+    MappingError,
+    PropertyBridge,
+    TranslationTable,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+        T.StructField("obj_datatype", T.StringType(), True),
+        T.StructField("obj_lang", T.StringType(), True),
+        T.StructField("is_literal", T.BooleanType(), False),
+    ]
+)
+
+_XSD_CAST = {
+    "date": "date",
+    "timestamp": "timestamp",
+    "integer": "bigint",
+    "long": "bigint",
+    "decimal": "decimal(38,9)",
+    "double": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "binary": "binary",
+}
+
+
+class NotInvertible(Exception):
+    """Node maker cannot be inverted to column constraints → fall back
+    to a post-mint equality filter instead of pruning."""
+
+
+@dataclass(frozen=True)
+class NodeSpec:
+    """NodeMaker analogue: how one of S/P/O is produced from a row."""
+
+    kind: str  # uri_pattern|uri_column|uri_expr|bnode|literal_column|
+    #            literal_pattern|literal_expr|constant
+    pattern: Optional[UriPattern] = None
+    column: Optional[str] = None
+    expr: Optional[str] = None
+    constant: Optional[str] = None
+    is_literal: bool = False
+    datatype: Optional[str] = None  # explicit d2rq:datatype override
+    lang: Optional[str] = None
+    translate: Optional[TranslationTable] = None
+    bnode_name: Optional[str] = None
+    bnode_columns: tuple = ()
+    value_regex: Optional[str] = None
+    value_contains: Optional[str] = None
+    value_max_length: Optional[int] = None
+
+    @property
+    def columns(self) -> list[str]:
+        if self.kind in ("uri_pattern", "literal_pattern"):
+            return self.pattern.columns
+        if self.kind in ("uri_column", "literal_column"):
+            return [self.column]
+        if self.kind == "bnode":
+            return list(self.bnode_columns)
+        return []
+
+
+@dataclass
+class CompiledBridge:
+    """TripleRelation analogue: one relation + three node specs."""
+
+    name: str
+    class_map: ClassMap
+    bridge: Optional[PropertyBridge]  # None for rdf:type relations
+    subject: NodeSpec
+    predicate: NodeSpec
+    object: NodeSpec
+    base_table: str
+    base_alias: str
+    aliases: dict[str, str] = field(default_factory=dict)  # alias -> table
+    joins: tuple = ()
+    conditions: tuple = ()
+    order_column: Optional[str] = None
+    order_desc: bool = False
+    limit: Optional[int] = None
+    distinct: bool = False
+
+    def relation_key(self):
+        """Bridges with the same key share one scan (fusion; the analogue
+        of algebra/CompatibleRelationGroup.java union batching)."""
+        return (
+            self.base_table,
+            self.base_alias,
+            tuple(sorted(self.aliases.items())),
+            tuple((j.left, j.right) for j in self.joins),
+            self.conditions,
+            self.order_column,
+            self.order_desc,
+            self.limit,
+        )
+
+
+def _qualify(col: str, default_alias: str) -> str:
+    return col if "." in col else f"{default_alias}.{col}"
+
+
+class MappingCompiler:
+    """Compiles a Mapping into CompiledBridges and evaluates them.
+
+    ``use_broadcast_hints``: a directed d2rq:join (``a => b``) marks b as
+    the referenced (PK / dimension) side; when enabled the compiler wraps
+    that side in ``F.broadcast`` — on a 1000-executor cluster this turns
+    every FK-to-dimension join into a broadcast hash join with no shuffle
+    of the fact side.  Undirected joins are left to Catalyst/AQE.
+    """
+
+    def __init__(
+        self,
+        mapping: Mapping,
+        spark: SparkSession,
+        extra_tables: Optional[dict[str, DataFrame]] = None,
+        use_broadcast_hints: bool = True,
+    ):
+        self.mapping = mapping
+        self.spark = spark
+        self.extra_tables = extra_tables or {}
+        self.use_broadcast_hints = use_broadcast_hints
+        self._table_cache: dict[str, DataFrame] = {}
+        for sql in mapping.database.startup_sql:
+            spark.sql(sql)
+
+    # ---------------- table access ----------------------------------
+    def table(self, name: str) -> DataFrame:
+        if name in self._table_cache:
+            return self._table_cache[name]
+        if name in self.extra_tables:
+            df = self.extra_tables[name]
+        else:
+            df = self.spark.read.parquet(self.mapping.database.path_for(name))
+        # d2rq column-type overrides (d2rq:dateColumn etc., SURVEY §1.2)
+        for qcol, xsd in self.mapping.database.column_types.items():
+            t, c = qcol.split(".", 1)
+            if t == name and c in df.columns:
+                df = df.withColumn(c, F.col(c).cast(_XSD_CAST[xsd]))
+        self._table_cache[name] = df
+        return df
+
+    def column_type(self, qcol: str, aliases: dict[str, str]) -> T.DataType:
+        alias, col = qcol.split(".", 1)
+        table = aliases.get(alias, alias)
+        return dict(
+            (f.name, f.dataType) for f in self.table(table).schema.fields
+        )[col]
+
+    # ---------------- node specs ------------------------------------
+    def _subject_spec(self, cm: ClassMap) -> NodeSpec:
+        tt = (
+            self.mapping.translation_tables.get(cm.translate_with)
+            if cm.translate_with
+            else None
+        )
+        if cm.uri_pattern:
+            return NodeSpec("uri_pattern", pattern=UriPattern.parse(cm.uri_pattern))
+        if cm.uri_column:
+            return NodeSpec("uri_column", column=cm.uri_column, translate=tt)
+        if cm.uri_sql_expression:
+            return NodeSpec("uri_expr", expr=cm.uri_sql_expression)
+        if cm.bnode_id_columns:
+            return NodeSpec(
+                "bnode", bnode_name=cm.name, bnode_columns=tuple(cm.bnode_id_columns)
+            )
+        return NodeSpec("constant", constant=cm.constant_value)
+
+    def _object_spec(self, pb: PropertyBridge) -> NodeSpec:
+        tt = (
+            self.mapping.translation_tables.get(pb.translate_with)
+            if pb.translate_with
+            else None
+        )
+        deco = dict(
+            value_regex=pb.value_regex,
+            value_contains=pb.value_contains,
+            value_max_length=pb.value_max_length,
+        )
+        if pb.refers_to_class_map:
+            tgt = self.mapping.class_maps[pb.refers_to_class_map]
+            return self._subject_spec(tgt)
+        if pb.column:
+            return NodeSpec(
+                "literal_column",
+                column=pb.column,
+                is_literal=True,
+                datatype=pb.datatype,
+                lang=pb.lang,
+                translate=tt,
+                **deco,
+            )
+        if pb.pattern:
+            return NodeSpec(
+                "literal_pattern",
+                pattern=UriPattern.parse(pb.pattern),
+                is_literal=True,
+                datatype=pb.datatype,
+                lang=pb.lang,
+                **deco,
+            )
+        if pb.sql_expression:
+            return NodeSpec(
+                "literal_expr",
+                expr=pb.sql_expression,
+                is_literal=True,
+                datatype=pb.datatype,
+                lang=pb.lang,
+                **deco,
+            )
+        if pb.uri_column:
+            return NodeSpec("uri_column", column=pb.uri_column, translate=tt, **deco)
+        if pb.uri_pattern:
+            return NodeSpec("uri_pattern", pattern=UriPattern.parse(pb.uri_pattern), **deco)
+        if pb.uri_sql_expression:
+            return NodeSpec("uri_expr", expr=pb.uri_sql_expression, **deco)
+        if pb.bnode_id_columns:
+            return NodeSpec(
+                "bnode", bnode_name=pb.name, bnode_columns=tuple(pb.bnode_id_columns)
+            )
+        return NodeSpec(
+            "constant", constant=pb.constant_value, is_literal=pb.constant_is_literal
+        )
+
+    # ---------------- compile --------------------------------------
+    def compile(self) -> list[CompiledBridge]:
+        """Every ClassMap type-triple + every PropertyBridge → one
+        CompiledBridge (reference: MappingImpl.compile())."""
+        self.mapping.validate()
+        out: list[CompiledBridge] = []
+        for cm in self.mapping.class_maps.values():
+            subj = self._subject_spec(cm)
+            base_alias, aliases = self._alias_env(cm, None)
+            for cls in cm.classes:
+                out.append(
+                    CompiledBridge(
+                        name=f"{cm.name}!type!{cls}",
+                        class_map=cm,
+                        bridge=None,
+                        subject=subj,
+                        predicate=NodeSpec("constant", constant=RDF_TYPE),
+                        object=NodeSpec("constant", constant=cls),
+                        base_table=cm.table,
+                        base_alias=base_alias,
+                        aliases=aliases,
+                        joins=tuple(cm.join),
+                        conditions=tuple(c for c in [cm.condition] if c),
+                        distinct=cm.contains_duplicates,
+                    )
+                )
+        for pb in self.mapping.bridges:
+            cm = self.mapping.class_maps[pb.belongs_to_class_map]
+            subj = self._subject_spec(cm)
+            base_alias, aliases = self._alias_env(cm, pb)
+            if pb.dynamic_property:
+                pred = NodeSpec("uri_pattern", pattern=UriPattern.parse(pb.dynamic_property))
+            else:
+                pred = NodeSpec("constant", constant=pb.properties[0])
+            obj = self._object_spec(pb)
+            # refersToClassMap merges the TARGET map's relation too —
+            # its condition, joins and aliases (reference: relation merge
+            # in map/impl/PropertyBridgeImpl; SURVEY §2.3 J2).
+            tgt_cond: list = []
+            tgt_joins: tuple = ()
+            if pb.refers_to_class_map:
+                tgt = self.mapping.class_maps[pb.refers_to_class_map]
+                if tgt.condition:
+                    tgt_cond.append(tgt.condition)
+                tgt_joins = tuple(tgt.join)
+                for a in tgt.alias:
+                    parts = a.split()
+                    aliases[parts[2]] = parts[0]
+            conds = tuple(c for c in [cm.condition, pb.condition, *tgt_cond] if c)
+            joins = tuple(cm.join) + tuple(pb.join) + tgt_joins
+            if self.mapping.configuration.use_all_optimizations:
+                joins = self._eliminate_self_joins(joins, base_alias, aliases)
+            for prop in pb.properties or [None]:
+                p = pred if pb.dynamic_property else NodeSpec("constant", constant=prop)
+                out.append(
+                    CompiledBridge(
+                        name=pb.name if prop in (None, (pb.properties or [None])[0]) else f"{pb.name}!{prop}",
+                        class_map=cm,
+                        bridge=pb,
+                        subject=subj,
+                        predicate=p,
+                        object=obj,
+                        base_table=cm.table,
+                        base_alias=base_alias,
+                        aliases=aliases,
+                        joins=joins,
+                        conditions=conds,
+                        order_column=pb.order_column,
+                        order_desc=pb.order_desc,
+                        limit=pb.limit,
+                        distinct=cm.contains_duplicates,
+                    )
+                )
+                if pb.dynamic_property:
+                    break
+        return out
+
+    def _alias_env(self, cm: ClassMap, pb: Optional[PropertyBridge]):
+        """alias name -> real table, from 'table AS alias' declarations."""
+        aliases: dict[str, str] = {}
+        specs = list(cm.alias) + (list(pb.alias) if pb else [])
+        for a in specs:
+            parts = a.split()
+            if len(parts) != 3 or parts[1].upper() != "AS":
+                raise MappingError(f"bad alias {a!r}")
+            aliases[parts[2]] = parts[0]
+        base_alias = cm.table
+        return base_alias, aliases
+
+    def _eliminate_self_joins(self, joins: tuple, base_alias: str, aliases):
+        """Self-join elimination (reference: algebra/JoinOptimizer.java):
+        a join of a table to itself over the SAME column on both sides is
+        an identity join — drop it.  (The full reference rule also uses
+        unique-index metadata; parquet has none, so only the provably-
+        identical case is removed.)"""
+        kept = []
+        for j in joins:
+            lt, lc = j.left.split(".", 1)
+            rt, rc = j.right.split(".", 1)
+            real_l, real_r = aliases.get(lt, lt), aliases.get(rt, rt)
+            if real_l == real_r and lc == rc and lt == rt:
+                continue
+            kept.append(j)
+        return tuple(kept)
+
+    # ---------------- relation building -----------------------------
+    def _build_relation(self, cb: CompiledBridge) -> DataFrame:
+        """Assemble the joined/filtered DataFrame for a bridge."""
+        in_plan = {cb.base_alias}
+        df = self.table(cb.base_table).alias(cb.base_alias)
+        pending = list(cb.joins)
+        guard = 0
+        while pending:
+            guard += 1
+            if guard > 100:
+                raise MappingError(f"bridge {cb.name}: join graph not connected")
+            j = pending.pop(0)
+            lt, rt = j.tables()
+            if lt in in_plan and rt in in_plan:
+                df = df.filter(F.col(j.left) == F.col(j.right))
+                continue
+            if lt not in in_plan and rt not in in_plan:
+                pending.append(j)  # defer until one side is in the plan
+                continue
+            new_alias = rt if lt in in_plan else lt
+            referenced_side = j.right.split(".")[0] if j.direction == "=>" else (
+                j.left.split(".")[0] if j.direction == "<=" else None
+            )
+            other = self.table(cb.aliases.get(new_alias, new_alias)).alias(new_alias)
+            if self.use_broadcast_hints and referenced_side == new_alias:
+                other = F.broadcast(other)
+            df = df.join(other, F.col(j.left) == F.col(j.right), "inner")
+            in_plan.add(new_alias)
+        for cond in cb.conditions:
+            df = df.filter(F.expr(cond))
+        return df
+
+    def _translate_expr(self, value: Column, tt: TranslationTable) -> Column:
+        """Dictionary translation (values/Translator.java).  Inline/CSV
+        tables become a Catalyst map literal (JVM-side, broadcast with
+        the plan); a py translator becomes a vectorized pandas UDF.
+        Untranslatable value → NULL → triple dropped (d2rq semantics)."""
+        if tt.to_rdf is not None:
+            from pyspark.sql.functions import pandas_udf
+
+            fn = tt.to_rdf
+            udf = pandas_udf(fn, T.StringType())
+            return udf(value.cast("string"))
+        pairs = tt.load_pairs()
+        lits = []
+        for k, v in pairs.items():
+            lits.extend([F.lit(k), F.lit(v)])
+        return F.element_at(F.create_map(*lits), value.cast("string"))
+
+    def _node_exprs(self, cb: CompiledBridge, spec: NodeSpec):
+        """→ (value Column, datatype Column, lang Column, is_literal,
+        required-not-null qualified columns)."""
+        resolve = lambda q: F.col(_qualify(q, cb.base_alias))
+        required: list[str] = [_qualify(c, cb.base_alias) for c in spec.columns]
+
+        if spec.kind == "constant":
+            return (
+                F.lit(spec.constant),
+                F.lit(spec.datatype).cast("string"),
+                F.lit(spec.lang).cast("string"),
+                spec.is_literal,
+                [],
+            )
+        if spec.kind in ("uri_pattern", "literal_pattern"):
+            val = spec.pattern.mint_expr(resolve)
+            return (
+                val,
+                F.lit(spec.datatype).cast("string"),
+                F.lit(spec.lang).cast("string"),
+                spec.kind == "literal_pattern",
+                required,
+            )
+        if spec.kind in ("uri_column", "literal_column"):
+            qcol = _qualify(spec.column, cb.base_alias)
+            dt = self.column_type(qcol, cb.aliases)
+            if spec.kind == "uri_column":
+                val = resolve(spec.column).cast("string")
+                datatype, lang, is_lit = None, None, False
+            else:
+                val, inferred = lexical_expr(resolve(spec.column), dt)
+                lang = spec.lang
+                datatype = spec.datatype or (None if lang else inferred)
+                is_lit = True
+            if spec.translate is not None:
+                val = self._translate_expr(val, spec.translate)
+                required = [qcol]  # translation null handled by obj-not-null filter
+            return (
+                val,
+                F.lit(datatype).cast("string"),
+                F.lit(lang).cast("string"),
+                is_lit,
+                required,
+            )
+        if spec.kind in ("uri_expr", "literal_expr"):
+            val = F.expr(spec.expr).cast("string")
+            return (
+                val,
+                F.lit(spec.datatype).cast("string"),
+                F.lit(spec.lang).cast("string"),
+                spec.kind == "literal_expr",
+                [],
+            )
+        if spec.kind == "bnode":
+            cols = [resolve(c).cast("string") for c in spec.bnode_columns]
+            val = F.concat(
+                F.lit(f"_:{spec.bnode_name}@@"), F.concat_ws("@@", *cols)
+            )
+            return val, F.lit(None).cast("string"), F.lit(None).cast("string"), False, required
+        raise MappingError(f"unknown node kind {spec.kind}")
+
+    def triple_struct(self, cb: CompiledBridge) -> tuple[Column, Column]:
+        """(struct(subj,pred,obj,…) or NULL, usable-for-fusion marker).
+        NULL when any required column is NULL (P6) or object untranslatable."""
+        s_val, _, _, _, s_req = self._node_exprs(cb, cb.subject)
+        p_val, _, _, _, p_req = self._node_exprs(cb, cb.predicate)
+        o_val, o_dt, o_lang, o_lit, o_req = self._node_exprs(cb, cb.object)
+        struct = F.struct(
+            s_val.cast("string").alias("subj"),
+            p_val.cast("string").alias("pred"),
+            o_val.cast("string").alias("obj"),
+            o_dt.alias("obj_datatype"),
+            o_lang.alias("obj_lang"),
+            F.lit(bool(o_lit)).alias("is_literal"),
+        )
+        notnull = (
+            s_val.isNotNull() & p_val.isNotNull() & o_val.isNotNull()
+        )
+        for q in set(s_req + p_req + o_req):
+            notnull = notnull & F.col(q).isNotNull()
+        return F.when(notnull, struct), notnull
+
+    # ---------------- evaluation ------------------------------------
+    def bridge_df(
+        self,
+        cb: CompiledBridge,
+        constraints: Optional[dict[str, object]] = None,
+        post_filters: Optional[list] = None,
+    ) -> DataFrame:
+        """One bridge → triples DataFrame, with optional plan-time
+        equality constraints (from node binding) pushed onto the scan."""
+        df = self._build_relation(cb)
+        for qcol, const in (constraints or {}).items():
+            df = df.filter(F.col(qcol) == F.lit(const))
+        struct, notnull = self.triple_struct(cb)
+        df = df.filter(notnull)
+        if cb.order_column:
+            oc = F.col(_qualify(cb.order_column, cb.base_alias))
+            df = df.orderBy(oc.desc() if cb.order_desc else oc.asc())
+        out = df.select(struct.alias("t")).select("t.*")
+        for flt in post_filters or []:
+            out = out.filter(flt)
+        if cb.limit is not None:
+            out = out.limit(cb.limit)
+        if cb.distinct:
+            out = out.dropDuplicates(["subj", "pred", "obj", "obj_datatype", "obj_lang"])
+        cap = self.mapping.database.result_size_limit
+        if cap is not None:
+            out = out.limit(cap)
+        return out
+
+    def fused_df(self, bridges: list[CompiledBridge]) -> DataFrame:
+        """Fusion: N bridges over one relation → ONE scan.
+        explode(array_compact(array(struct,…))) emits every bridge's
+        triple from a single pass (union batching, SURVEY §4)."""
+        by_key: dict = {}
+        for cb in bridges:
+            by_key.setdefault(cb.relation_key(), []).append(cb)
+        frames = []
+        for key, group in by_key.items():
+            fusible = [
+                cb
+                for cb in group
+                if cb.limit is None and cb.order_column is None and not cb.distinct
+            ]
+            rest = [cb for cb in group if cb not in fusible]
+            if len(fusible) >= 2:
+                df = self._build_relation(fusible[0])
+                structs = [self.triple_struct(cb)[0] for cb in fusible]
+                fused = df.select(
+                    F.explode(F.array_compact(F.array(*structs))).alias("t")
+                ).select("t.*")
+                frames.append(fused)
+            else:
+                rest = group
+            for cb in rest:
+                frames.append(self.bridge_df(cb))
+        if not frames:
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def coerce_constant(value: str, dt: T.DataType):
+    """Typed constant for a pushed-down equality filter; raises
+    ValueError on type mismatch (⇒ the relation is pruned — the
+    reference's datatype-mismatch relation rejection)."""
+    if isinstance(dt, T.StringType):
+        return str(value)
+    s = str(value)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(s)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(s)
+    if isinstance(dt, T.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(s)
+    if isinstance(dt, T.BooleanType):
+        if s.lower() in ("true", "1"):
+            return True
+        if s.lower() in ("false", "0"):
+            return False
+        raise ValueError(s)
+    if isinstance(dt, T.DateType):
+        return _dt.date.fromisoformat(s)
+    if isinstance(dt, T.TimestampType):
+        return _dt.datetime.fromisoformat(s.replace("T", " ").rstrip("Z"))
+    return s

@@ -1,0 +1,278 @@
+"""VirtualGraph — the Spark analogue of D2RQ's GraphD2RQ + SPARQL engine.
+
+Reference layout (SURVEY.md §3):
+  jena/GraphD2RQ.java            — graphBaseFind(s,p,o) over TripleRelations
+  find/FindQuery.java, find/URIMakerRule.java — relation pruning + batching
+  engine/GraphPatternTranslator.java, engine/NodeRelationJoiner.java
+                                  — BGP → joined relations (join pushdown)
+  ont-d2rq jena/CachingGraph.java — memoized find results
+
+Spark-first re-expression:
+  * find(s,p,o): plan-time binding — each bound term is inverted through
+    every bridge's node maker into typed equality constraints (pruning
+    relations whose pattern/datatype cannot match), constraints reach
+    the parquet scan as pushed filters, survivors union into ONE job.
+  * bgp([...patterns...]): each triple pattern → union of candidate
+    bridge frames with node values projected to variable columns; shared
+    variables become join keys; Catalyst picks broadcast/SMJ and AQE
+    handles skew.  This is D2RQ's join pushdown without the SQL-string
+    generation — the DataFrame DAG *is* the pushed-down query.
+  * triples(): full materialization (dump-rdf): fused one-scan-per-table
+    evaluation + global distinct.
+  * cache(): persist hot bridge frames (CachingGraph analogue).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ont_d2rq_spark.compiler.relation import (
+    CompiledBridge,
+    MappingCompiler,
+    NodeSpec,
+    TRIPLE_SCHEMA,
+    coerce_constant,
+    _qualify,
+)
+from ont_d2rq_spark.mapping.model import Mapping
+
+
+class _Prune(Exception):
+    """Bound node can never be produced by this relation."""
+
+
+class Var(str):
+    """A SPARQL-style variable in a BGP pattern (e.g. Var('x'))."""
+
+
+def _is_var(term) -> bool:
+    return isinstance(term, Var) or (isinstance(term, str) and term.startswith("?"))
+
+
+def _var_name(term) -> str:
+    return term[1:] if isinstance(term, str) and term.startswith("?") else str(term)
+
+
+class VirtualGraph:
+    def __init__(
+        self,
+        mapping: Mapping,
+        spark: SparkSession,
+        extra_tables=None,
+        use_broadcast_hints: bool = True,
+    ):
+        self.mapping = mapping
+        self.spark = spark
+        self.compiler = MappingCompiler(
+            mapping, spark, extra_tables, use_broadcast_hints=use_broadcast_hints
+        )
+        self.bridges: list[CompiledBridge] = self.compiler.compile()
+        self._cached: list[DataFrame] = []
+
+    # ------------------------------------------------------------------
+    # node binding (reference: TripleRelation.selectTriple + NodeMaker
+    # unification, values/*.valueExpression — SURVEY §3 E1 step 2)
+    # ------------------------------------------------------------------
+    def _bind(self, cb: CompiledBridge, spec: NodeSpec, value: str, out_col: str):
+        """→ (constraints {qualified col: typed const}, post_filters [Column]).
+        Raises _Prune when the relation cannot produce `value`."""
+        constraints: dict = {}
+        post: list = []
+        # value-decorator pruning (values/ValueDecorator.java, P4)
+        if spec.value_max_length is not None and len(value) > spec.value_max_length:
+            raise _Prune()
+        if spec.value_contains and spec.value_contains not in value:
+            raise _Prune()
+        if spec.value_regex and not re.search(spec.value_regex, value):
+            raise _Prune()
+
+        if spec.kind == "constant":
+            if spec.constant != value:
+                raise _Prune()
+            return constraints, post
+        if spec.kind in ("uri_pattern", "literal_pattern"):
+            inverted = spec.pattern.invert(value)
+            if inverted is None:
+                raise _Prune()
+            for qcol, raw in inverted.items():
+                q = _qualify(qcol, cb.base_alias)
+                try:
+                    constraints[q] = coerce_constant(
+                        raw, self.compiler.column_type(q, cb.aliases)
+                    )
+                except (ValueError, ArithmeticError):
+                    raise _Prune()
+            return constraints, post
+        if spec.kind in ("uri_column", "literal_column"):
+            raw = value
+            if spec.translate is not None:
+                raw = spec.translate.to_db_value(value)
+                if raw is None:
+                    raise _Prune()
+            q = _qualify(spec.column, cb.base_alias)
+            try:
+                constraints[q] = coerce_constant(
+                    raw, self.compiler.column_type(q, cb.aliases)
+                )
+            except (ValueError, ArithmeticError):
+                raise _Prune()
+            return constraints, post
+        if spec.kind == "bnode":
+            parts = value.split("@@")
+            if parts[0] != f"_:{spec.bnode_name}" or len(parts) != 1 + len(
+                spec.bnode_columns
+            ):
+                raise _Prune()
+            for qcol, raw in zip(spec.bnode_columns, parts[1:]):
+                q = _qualify(qcol, cb.base_alias)
+                try:
+                    constraints[q] = coerce_constant(
+                        raw, self.compiler.column_type(q, cb.aliases)
+                    )
+                except (ValueError, ArithmeticError):
+                    raise _Prune()
+            return constraints, post
+        # expression makers are not invertible → post-mint equality filter
+        post.append(F.col(out_col) == F.lit(value))
+        return constraints, post
+
+    # ------------------------------------------------------------------
+    def find(
+        self,
+        s: Optional[str] = None,
+        p: Optional[str] = None,
+        o: Optional[str] = None,
+    ) -> DataFrame:
+        """Triple-pattern lookup: None = wildcard.  One Catalyst job."""
+        frames = []
+        for cb in self.bridges:
+            constraints: dict = {}
+            post: list = []
+            try:
+                for spec, val, col in (
+                    (cb.subject, s, "subj"),
+                    (cb.predicate, p, "pred"),
+                    (cb.object, o, "obj"),
+                ):
+                    if val is not None:
+                        c, f = self._bind(cb, spec, val, col)
+                        constraints.update(c)
+                        post.extend(f)
+            except _Prune:
+                continue
+            frames.append(self.compiler.bridge_df(cb, constraints, post))
+        if not frames:
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    # ------------------------------------------------------------------
+    def bgp(self, patterns: Sequence[tuple]) -> DataFrame:
+        """Basic graph pattern → joined DataFrame of variable bindings.
+
+        Each pattern is (s, p, o); terms are constants or '?var'/Var.
+        Shared variables join (reference: NodeRelationJoiner); result has
+        one string column per variable (node lexical value)."""
+        frames: list[DataFrame] = []
+        for s, p, o in patterns:
+            candidates = []
+            for cb in self.bridges:
+                constraints: dict = {}
+                post: list = []
+                try:
+                    for spec, term, col in (
+                        (cb.subject, s, "subj"),
+                        (cb.predicate, p, "pred"),
+                        (cb.object, o, "obj"),
+                    ):
+                        if term is not None and not _is_var(term):
+                            c, f = self._bind(cb, spec, term, col)
+                            constraints.update(c)
+                            post.extend(f)
+                except _Prune:
+                    continue
+                df = self.compiler.bridge_df(cb, constraints, post)
+                sel, seen = [], {}
+                for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+                    if term is not None and _is_var(term):
+                        v = _var_name(term)
+                        if v in seen:  # repeated var within one pattern
+                            df = df.filter(F.col(col) == F.col(seen[v]))
+                        else:
+                            seen[v] = col
+                            sel.append(F.col(col).alias(v))
+                candidates.append(df.select(*sel) if sel else df.limit(1).select(F.lit(1).alias("_m")))
+            if not candidates:
+                return self.spark.createDataFrame([], "dummy string").limit(0)
+            frames.append(reduce(lambda a, b: a.unionByName(b), candidates))
+        out = frames[0]
+        for nxt in frames[1:]:
+            shared = [c for c in out.columns if c in nxt.columns]
+            out = out.join(nxt, on=shared, how="inner") if shared else out.crossJoin(nxt)
+        return out
+
+    # ------------------------------------------------------------------
+    def triples(self, fuse: bool = True, distinct: bool = True) -> DataFrame:
+        """Full virtual graph (dump-rdf / Mapping.getData() analogue)."""
+        if fuse:
+            df = self.compiler.fused_df(self.bridges)
+        else:
+            frames = [self.compiler.bridge_df(cb) for cb in self.bridges]
+            if not frames:
+                return self.spark.createDataFrame([], TRIPLE_SCHEMA)
+            df = reduce(lambda a, b: a.unionByName(b), frames)
+        if self.mapping.configuration.serve_vocabulary:
+            from ont_d2rq_spark.schema_graph import schema_triples
+
+            df = df.unionByName(schema_triples(self.mapping, self.spark))
+        if distinct:
+            df = df.dropDuplicates(["subj", "pred", "obj", "obj_datatype", "obj_lang"])
+        return df
+
+    def cache(self) -> "VirtualGraph":
+        """CachingGraph analogue: persist the fused triples DAG."""
+        from pyspark import StorageLevel
+
+        t = self.triples().persist(StorageLevel.MEMORY_AND_DISK)
+        self._cached.append(t)
+        return self
+
+    # ------------------------------------------------------------------
+    # N-Triples serialization (dump-rdf sink, SURVEY §2.1 S6)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _nt_escape(col):
+        for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+            col = F.replace(col, F.lit(a), F.lit(b))
+        return col
+
+    def nt_lines(self, triples: Optional[DataFrame] = None) -> DataFrame:
+        t = triples if triples is not None else self.triples()
+        subj = F.when(t.subj.startswith("_:"), t.subj).otherwise(
+            F.concat(F.lit("<"), t.subj, F.lit(">"))
+        )
+        pred = F.concat(F.lit("<"), t.pred, F.lit(">"))
+        lit = F.concat(F.lit('"'), self._nt_escape(t.obj), F.lit('"'))
+        lit = F.when(
+            t.obj_lang.isNotNull(), F.concat(lit, F.lit("@"), t.obj_lang)
+        ).otherwise(
+            F.when(
+                t.obj_datatype.isNotNull(),
+                F.concat(lit, F.lit("^^<"), t.obj_datatype, F.lit(">")),
+            ).otherwise(lit)
+        )
+        obj = F.when(t.is_literal, lit).otherwise(
+            F.when(t.obj.startswith("_:"), t.obj).otherwise(
+                F.concat(F.lit("<"), t.obj, F.lit(">"))
+            )
+        )
+        return t.select(
+            F.concat(subj, F.lit(" "), pred, F.lit(" "), obj, F.lit(" .")).alias("line")
+        )
+
+    def dump_nt(self, path: str, triples: Optional[DataFrame] = None) -> None:
+        self.nt_lines(triples).write.mode("overwrite").text(path)

@@ -1,0 +1,662 @@
+"""Driver-facing query surface: every implemented operator as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL twin.
+
+Each entry exercises one row of SURVEY.md §2's operator inventory (the
+d2rq mapping semantics) or one of the training-data-pipeline extensions
+(dedup, similarity, text analysis).  Column names are aliased
+identically on both sides — the driver hash-compares values after
+sorting columns by name.
+
+Numeric discipline for oracle parity:
+  * money/ratio aggregates go through DECIMAL (exact, deterministic
+    across engines) — never float sums;
+  * cosine similarities are computed in double and rounded to 6 dp on
+    both sides;
+  * counts are BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ont_d2rq_spark.examples import EX, MKTSEGMENT_TRANSLATIONS, tpch_mapping
+from ont_d2rq_spark.graph import VirtualGraph
+
+XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> VirtualGraph:
+    return VirtualGraph(tpch_mapping(sf_dir), spark)
+
+
+def _bridges(spark, sf_dir, names) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    frames = [g.compiler.bridge_df(cb) for cb in g.bridges if cb.name in names]
+    assert frames, f"no bridges matched {names}"
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+_TRIPLE_COLS = "subj, pred, obj, obj_datatype, obj_lang, is_literal"
+
+
+# ---------------------------------------------------------------------------
+# §2 mapping operators (S1/P1/P2/P6, F1–F7, J1/J2, O1/O2, U1/U2)
+# ---------------------------------------------------------------------------
+
+def q_classmap_type_triples(spark, sf_dir):
+    """ClassMap rdf:type triples + uriPattern mint (F1)."""
+    return _bridges(spark, sf_dir, {"customer!type!" + EX + "Customer"})
+
+
+SQL_CLASSMAP_TYPE = f"""
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'http://example.org/Customer' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       FALSE AS is_literal
+FROM customer
+"""
+
+
+def q_literal_lang(spark, sf_dir):
+    """Column literal with d2rq:lang (F6)."""
+    return _bridges(spark, sf_dir, {"customer.name"})
+
+
+SQL_LITERAL_LANG = """
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+       'http://example.org/name' AS pred,
+       c_name AS obj,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       'en' AS obj_lang,
+       TRUE AS is_literal
+FROM customer WHERE c_name IS NOT NULL
+"""
+
+
+def q_literal_typed(spark, sf_dir):
+    """Column literal with inferred xsd:double datatype (§1.2)."""
+    return _bridges(spark, sf_dir, {"customer.acctbal"})
+
+
+SQL_LITERAL_TYPED = f"""
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+       'http://example.org/acctbal' AS pred,
+       CAST(c_acctbal AS VARCHAR) AS obj,
+       '{XSD_DOUBLE}' AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       TRUE AS is_literal
+FROM customer WHERE c_acctbal IS NOT NULL
+"""
+
+
+def q_translation_table(spark, sf_dir):
+    """TranslationTable dictionary encoding (F5): db value → URI."""
+    return _bridges(spark, sf_dir, {"customer.segment"})
+
+
+_SEG_CASE = "CASE c_mktsegment " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in MKTSEGMENT_TRANSLATIONS.items()
+) + " END"
+
+SQL_TRANSLATION_TABLE = f"""
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+       'http://example.org/marketSegment' AS pred,
+       {_SEG_CASE} AS obj,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       FALSE AS is_literal
+FROM customer WHERE {_SEG_CASE} IS NOT NULL
+"""
+
+
+def q_refers_to_classmap(spark, sf_dir):
+    """refersToClassMap + d2rq:join (J1/J2): object URI minted from the
+    joined dimension row; FK direction hint broadcasts the dim."""
+    return _bridges(spark, sf_dir, {"customer.nation"})
+
+
+SQL_REFERS_TO_CLASSMAP = """
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+       'http://example.org/inNation' AS pred,
+       'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS obj,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       FALSE AS is_literal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_condition_filter(spark, sf_dir):
+    """d2rq:condition row filter (P2)."""
+    return _bridges(spark, sf_dir, {"orders!type!" + EX + "Order"})
+
+
+SQL_CONDITION_FILTER = """
+SELECT 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR) AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'http://example.org/Order' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       FALSE AS is_literal
+FROM orders WHERE o_orderstatus <> 'P'
+"""
+
+
+def q_sql_expression(spark, sf_dir):
+    """d2rq:sqlExpression value maker (F4)."""
+    return _bridges(spark, sf_dir, {"part.retail_expr"})
+
+
+SQL_SQL_EXPRESSION = """
+SELECT 'http://example.org/part/' || CAST(p_partkey AS VARCHAR) AS subj,
+       'http://example.org/retailPriceCents' AS pred,
+       CAST(CAST(ROUND(p_retailprice * 100) AS BIGINT) AS VARCHAR) AS obj,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       TRUE AS is_literal
+FROM part
+"""
+
+
+def q_dynamic_property(spark, sf_dir):
+    """d2rq:dynamicProperty (F7): predicate minted per row with urlify."""
+    return _bridges(spark, sf_dir, {"part.brand_dyn"})
+
+
+SQL_DYNAMIC_PROPERTY = """
+SELECT 'http://example.org/part/' || CAST(p_partkey AS VARCHAR) AS subj,
+       'http://example.org/brand/' || replace(replace(p_brand, ' ', '_'), '#', '%23') AS pred,
+       CAST(p_size AS VARCHAR) AS obj,
+       'http://www.w3.org/2001/XMLSchema#integer' AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       TRUE AS is_literal
+FROM part WHERE p_size IS NOT NULL AND p_brand IS NOT NULL
+"""
+
+
+def q_bnode_subject(spark, sf_dir):
+    """bNodeIdColumns blank-node subjects (F3) over a composite key."""
+    return _bridges(spark, sf_dir, {"lineitem.quantity"})
+
+
+SQL_BNODE_SUBJECT = """
+SELECT '_:lineitem@@' || CAST(l_orderkey AS VARCHAR) || '@@' || CAST(l_linenumber AS VARCHAR) AS subj,
+       'http://example.org/quantity' AS pred,
+       CAST(l_quantity AS VARCHAR) AS obj,
+       'http://www.w3.org/2001/XMLSchema#double' AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       TRUE AS is_literal
+FROM lineitem WHERE l_quantity IS NOT NULL
+"""
+
+
+def q_order_limit(spark, sf_dir):
+    """d2rq:orderDesc + d2rq:limit (O1/O2): top-20 customers by key."""
+    g = _graph(spark, sf_dir)
+    cb = next(b for b in g.bridges if b.name == "customer.name")
+    import dataclasses
+
+    cb = dataclasses.replace(cb, order_column="customer.c_custkey", order_desc=True, limit=20)
+    return g.compiler.bridge_df(cb)
+
+
+SQL_ORDER_LIMIT = """
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+       'http://example.org/name' AS pred,
+       c_name AS obj,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       'en' AS obj_lang,
+       TRUE AS is_literal
+FROM customer ORDER BY c_custkey DESC LIMIT 20
+"""
+
+
+def q_find_bound_subject(spark, sf_dir):
+    """find(s,p,o) with bound subject: URI-pattern inversion (P3) —
+    the constraint is pushed into the parquet scan."""
+    g = _graph(spark, sf_dir)
+    return g.find(s=EX + "customer/7")
+
+
+SQL_FIND_BOUND_SUBJECT = f"""
+WITH c AS (SELECT * FROM customer WHERE c_custkey = 7)
+SELECT 'http://example.org/customer/7' AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'http://example.org/Customer' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang, FALSE AS is_literal
+FROM c
+UNION ALL
+SELECT 'http://example.org/customer/7', 'http://example.org/name', c_name,
+       NULL, 'en', TRUE FROM c WHERE c_name IS NOT NULL
+UNION ALL
+SELECT 'http://example.org/customer/7', 'http://example.org/acctbal', CAST(c_acctbal AS VARCHAR),
+       '{XSD_DOUBLE}', NULL, TRUE FROM c WHERE c_acctbal IS NOT NULL
+UNION ALL
+SELECT 'http://example.org/customer/7', 'http://example.org/marketSegment', {_SEG_CASE},
+       NULL, NULL, FALSE FROM c WHERE {_SEG_CASE} IS NOT NULL
+UNION ALL
+SELECT 'http://example.org/customer/7', 'http://example.org/inNation',
+       'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR), NULL, NULL, FALSE
+FROM c JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_bgp_join(spark, sf_dir):
+    """BGP join pushdown (J3): customers with nation + region names."""
+    g = _graph(spark, sf_dir)
+    res = g.bgp(
+        [
+            ("?c", EX + "inNation", "?n"),
+            ("?n", EX + "inRegion", "?r"),
+            ("?r", EX + "name", "?rname"),
+            ("?c", EX + "name", "?cname"),
+        ]
+    )
+    return res.select("c", "n", "r", "rname", "cname")
+
+
+# suppliers also carry ex:inNation + ex:name bridges, so SPARQL semantics
+# (any subject matching the pattern) include them — the union is intended.
+SQL_BGP_JOIN = """
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+       'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS n,
+       'http://example.org/region/' || CAST(r_regionkey AS VARCHAR) AS r,
+       r_name AS rname,
+       c_name AS cname
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IS NOT NULL AND c_name IS NOT NULL
+UNION ALL
+SELECT 'http://example.org/supplier/' || CAST(s_suppkey AS VARCHAR),
+       'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+       'http://example.org/region/' || CAST(r_regionkey AS VARCHAR),
+       r_name,
+       s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IS NOT NULL AND s_name IS NOT NULL
+"""
+
+
+def q_schema_vocabulary(spark, sf_dir):
+    """ont-d2rq schema/vocabulary graph (S8), generated from the mapping."""
+    from ont_d2rq_spark.schema_graph import schema_triples
+
+    return schema_triples(tpch_mapping(sf_dir), spark)
+
+
+def sql_schema_vocabulary() -> str:
+    """Oracle generated from the same static mapping object — the
+    vocabulary derives from the mapping, not the data."""
+    from ont_d2rq_spark.schema_graph import schema_rows
+
+    rows = schema_rows(tpch_mapping("/root/testdata/sf0.01"))
+
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS VARCHAR)"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    values = ",\n".join("(" + ", ".join(lit(x) for x in r) + ")" for r in rows)
+    return (
+        "SELECT * FROM (VALUES\n"
+        + values
+        + "\n) AS t(subj, pred, obj, obj_datatype, obj_lang, is_literal)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational/SPARQL-solution operators (A1 aggregation, windows, semi/anti)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """Aggregation over the dump (A1) — ARQ-in-memory GROUP BY becomes a
+    Catalyst partial+final hash aggregate.  DECIMAL for cross-engine
+    determinism."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    """Window function (§2.5): latest 3 orders per customer."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """left_semi join (J5): customers with at least one order."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """left_anti join (J5): customers with no orders."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """JSON extraction over the events stream table (F10)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators over documents/embeddings
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting + quality stats (text analysis)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+FROM documents
+"""
+
+
+_MENTION_TERMS = ["customer", "part", "order", "join", "spark", "window", "filter"]
+
+
+def q_doc_mentions(spark, sf_dir):
+    """Dictionary mention detection over document text (north-star stage
+    ② in SQL-checkable form): term frequency per doc for a closed
+    entity dictionary."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    return (
+        tok.filter(F.col("term").isin(_MENTION_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_mentions"))
+    )
+
+
+SQL_DOC_MENTIONS = f"""
+SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term IN ({", ".join("'" + t + "'" for t in _MENTION_TERMS)})
+GROUP BY doc_id, term
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text (exact-dup key)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized content; representative =
+    min doc_id (deterministic)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("representative"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(trim(text))) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS representative,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(lower(trim(text)))
+"""
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k (k=5) for the first 10 query vectors —
+    the exact baseline for ANN.  JVM-side: zip_with + aggregate, no UDF.
+    Broadcast the tiny query side; scores rounded to 6 dp for the oracle."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "q_emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(dot / (norm(F.col("emb")) * norm(F.col("q_emb"))), 6).alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+SQL_SIMILARITY_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         ROUND(list_dot_product(e.emb, q.q_emb) /
+               (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by token-3-gram Jaccard ≥ 0.35 (exact
+    set-based similarity; the verification step LSH candidates feed)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    g = d.filter(F.size(toks) >= 3).select(
+        "doc_id", F.explode(grams).alias("gram"), F.size(grams).alias("n_grams")
+    )
+    pairs = (
+        g.alias("a")
+        .join(g.alias("b"), on="gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.35)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS gs
+  FROM toks
+),
+g AS (SELECT doc_id, unnest(gs) AS gram, len(gs) AS n_grams FROM grams),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
+FROM pairs WHERE ROUND(inter / (na + nb - inter), 6) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "classmap_type_triples": q_classmap_type_triples,
+    "literal_lang": q_literal_lang,
+    "literal_typed": q_literal_typed,
+    "translation_table": q_translation_table,
+    "refers_to_classmap": q_refers_to_classmap,
+    "condition_filter": q_condition_filter,
+    "sql_expression": q_sql_expression,
+    "dynamic_property": q_dynamic_property,
+    "bnode_subject": q_bnode_subject,
+    "order_limit": q_order_limit,
+    "find_bound_subject": q_find_bound_subject,
+    "bgp_join": q_bgp_join,
+    "schema_vocabulary": q_schema_vocabulary,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "window_rank": q_window_rank,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "events_json": q_events_json,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_mentions": q_doc_mentions,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "similarity_topk": q_similarity_topk,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "classmap_type_triples": SQL_CLASSMAP_TYPE,
+        "literal_lang": SQL_LITERAL_LANG,
+        "literal_typed": SQL_LITERAL_TYPED,
+        "translation_table": SQL_TRANSLATION_TABLE,
+        "refers_to_classmap": SQL_REFERS_TO_CLASSMAP,
+        "condition_filter": SQL_CONDITION_FILTER,
+        "sql_expression": SQL_SQL_EXPRESSION,
+        "dynamic_property": SQL_DYNAMIC_PROPERTY,
+        "bnode_subject": SQL_BNODE_SUBJECT,
+        "order_limit": SQL_ORDER_LIMIT,
+        "find_bound_subject": SQL_FIND_BOUND_SUBJECT,
+        "bgp_join": SQL_BGP_JOIN,
+        "schema_vocabulary": sql_schema_vocabulary(),
+        "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
+        "window_rank": SQL_WINDOW_RANK,
+        "semi_join": SQL_SEMI_JOIN,
+        "anti_join": SQL_ANTI_JOIN,
+        "events_json": SQL_EVENTS_JSON,
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_mentions": SQL_DOC_MENTIONS,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "similarity_topk": SQL_SIMILARITY_TOPK,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    }

@@ -1,0 +1,234 @@
+"""Golden-triple tests over an ISWC-style in-memory database —
+the analogue of the reference's FindTest/MappingTest fixtures
+(FIXTURES.md §3).  Exact set equality = P/R 1.0."""
+
+import pandas as pd
+import pytest
+
+from ont_d2rq_spark.graph import VirtualGraph
+from ont_d2rq_spark.mapping.model import (
+    ClassMap,
+    Configuration,
+    Join,
+    Mapping,
+    PropertyBridge,
+    TranslationTable,
+)
+
+EX = "http://iswc/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+@pytest.fixture(scope="module")
+def iswc_tables(spark):
+    papers = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "PaperID": [1, 2, 3],
+                "Title": ["Trusting Trust", None, "Semantic Webs"],
+                "Year": [2002, 2003, 2002],
+                "Conference": [11, 11, 12],
+                "Publish": [True, True, False],
+            }
+        )
+    )
+    persons = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "PerID": [1, 2],
+                "Type": ["Full_Professor", "PhD_Student"],
+                "FirstName": ["Andy", "Bea"],
+                "LastName": ["Seaborne", "Gamma"],
+            }
+        )
+    )
+    conferences = spark.createDataFrame(
+        pd.DataFrame({"ConfID": [11, 12], "Name": ["ISWC 2002", "ISWC 2003"]})
+    )
+    rel = spark.createDataFrame(
+        pd.DataFrame({"PersonID": [1, 2, 2], "PaperID": [1, 1, 3]})
+    )
+    return {
+        "papers": papers,
+        "persons": persons,
+        "conferences": conferences,
+        "rel_person_paper": rel,
+    }
+
+
+def iswc_mapping() -> Mapping:
+    m = Mapping(configuration=Configuration(serve_vocabulary=False))
+    m.translation_tables["types"] = TranslationTable(
+        name="types",
+        translations={
+            "Full_Professor": EX + "FullProfessor",
+            "PhD_Student": EX + "PhDStudent",
+        },
+    )
+    m.add_class_map(
+        ClassMap(
+            name="papers",
+            table="papers",
+            uri_pattern=EX + "paper@@papers.PaperID@@",
+            classes=[EX + "Paper"],
+            condition="papers.Publish = true",
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="paper.title",
+            belongs_to_class_map="papers",
+            properties=[EX + "title"],
+            column="papers.Title",
+            lang="en",
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="paper.conf",
+            belongs_to_class_map="papers",
+            properties=[EX + "conference"],
+            refers_to_class_map="conferences",
+            join=[Join("papers.Conference", "conferences.ConfID", "=>")],
+        )
+    )
+    m.add_class_map(
+        ClassMap(
+            name="conferences",
+            table="conferences",
+            uri_pattern=EX + "conf@@conferences.ConfID@@",
+            classes=[EX + "Conference"],
+        )
+    )
+    m.add_class_map(
+        ClassMap(
+            name="persons",
+            table="persons",
+            uri_pattern=EX + "person@@persons.PerID@@",
+            classes=[EX + "Person"],
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="person.type_translated",
+            belongs_to_class_map="persons",
+            properties=[EX + "academicType"],
+            uri_column="persons.Type",
+            translate_with="types",
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="person.authored",
+            belongs_to_class_map="persons",
+            properties=[EX + "authorOf"],
+            refers_to_class_map="papers",
+            join=[
+                Join("persons.PerID", "rel_person_paper.PersonID", "<="),
+                Join("rel_person_paper.PaperID", "papers.PaperID", "=>"),
+            ],
+        )
+    )
+    m.validate()
+    return m
+
+
+@pytest.fixture(scope="module")
+def graph(spark, iswc_tables):
+    return VirtualGraph(iswc_mapping(), spark, extra_tables=iswc_tables)
+
+
+def triple_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_condition_and_null_rule(graph):
+    """Publish=false paper excluded (P2); NULL title emits no triple (P6)."""
+    got = triple_set(graph.find(p=EX + "title"))
+    assert got == {
+        (EX + "paper1", EX + "title", "Trusting Trust", None, "en", True),
+    }
+
+
+def test_type_triples_respect_condition(graph):
+    got = triple_set(graph.find(p=RDF_TYPE, o=EX + "Paper"))
+    assert {t[0] for t in got} == {EX + "paper1", EX + "paper2"}
+
+
+def test_refers_to_classmap_join(graph):
+    got = triple_set(graph.find(p=EX + "conference"))
+    assert got == {
+        (EX + "paper1", EX + "conference", EX + "conf11", None, None, False),
+        (EX + "paper2", EX + "conference", EX + "conf11", None, None, False),
+    }
+
+
+def test_translation_uri(graph):
+    got = triple_set(graph.find(p=EX + "academicType"))
+    assert got == {
+        (EX + "person1", EX + "academicType", EX + "FullProfessor", None, None, False),
+        (EX + "person2", EX + "academicType", EX + "PhDStudent", None, None, False),
+    }
+
+
+def test_multi_hop_join_with_condition(graph):
+    """persons→rel_person_paper→papers: paper3 unpublished → excluded."""
+    got = triple_set(graph.find(p=EX + "authorOf"))
+    assert got == {
+        (EX + "person1", EX + "authorOf", EX + "paper1", None, None, False),
+        (EX + "person2", EX + "authorOf", EX + "paper1", None, None, False),
+    }
+
+
+def test_find_bound_object(graph):
+    got = triple_set(graph.find(p=EX + "authorOf", o=EX + "paper1"))
+    assert {t[0] for t in got} == {EX + "person1", EX + "person2"}
+
+
+def test_find_bound_subject_prunes_other_classmaps(graph):
+    got = triple_set(graph.find(s=EX + "person2"))
+    preds = {t[1] for t in got}
+    assert preds == {RDF_TYPE, EX + "academicType", EX + "authorOf"}
+
+
+def test_find_nonmatching_uri_empty(graph):
+    assert graph.find(s="http://elsewhere/1").count() == 0
+
+
+def test_translation_reverse_binding(graph):
+    """Bound object through a translation table reverses the dictionary."""
+    got = triple_set(graph.find(o=EX + "PhDStudent"))
+    assert got == {
+        (EX + "person2", EX + "academicType", EX + "PhDStudent", None, None, False),
+    }
+
+
+def test_full_dump_fused_equals_unfused(graph):
+    fused = triple_set(graph.triples(fuse=True, distinct=True))
+    unfused = triple_set(graph.triples(fuse=False, distinct=True))
+    assert fused == unfused
+    assert len(fused) > 0
+
+
+def test_nt_rendering(graph):
+    lines = {
+        r[0]
+        for r in graph.nt_lines(graph.find(s=EX + "paper1", p=EX + "title")).collect()
+    }
+    assert lines == {
+        f'<{EX}paper1> <{EX}title> "Trusting Trust"@en .'
+    }
+
+
+def test_bgp_multi_pattern(graph):
+    rows = graph.bgp(
+        [
+            ("?p", EX + "authorOf", "?paper"),
+            ("?paper", EX + "conference", EX + "conf11"),
+        ]
+    )
+    got = {(r["p"], r["paper"]) for r in rows.collect()}
+    assert got == {
+        (EX + "person1", EX + "paper1"),
+        (EX + "person2", EX + "paper1"),
+    }
