@@ -1,0 +1,163 @@
+"""Connected components via alternating large-star / small-star.
+
+The canonicalization step of the north-star pipeline (SURVEY.md §7.4 ④):
+candidate owl:sameAs edges → equivalence classes → canonical member.
+
+Algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14 — public literature; no Spark built-in exists):
+
+  large-star: for each edge (u,v) attach every neighbor larger than u
+              to u's current minimum neighbor;
+  small-star: re-orient edges toward each node's minimum neighbor.
+
+Both rounds are groupBy-aggregate + re-emission — pure shuffles on the
+node id, no driver-side state.  Convergence in O(log^2 n) rounds (in
+practice a handful); each iteration is localCheckpoint()ed to truncate
+lineage (hard part #3: without truncation the plan doubles per round
+and Catalyst analysis time explodes at scale).
+
+Skew: power-law degree (hub entities) is handled by AQE skew-join plus
+the fact that both stars only carry (node, min_neighbor) pairs —
+the reduce is a min() aggregate, which Spark executes with map-side
+partial aggregation, so a hub's fan-in is combined per-partition
+before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected → canonical directed (large id → small id), no loops."""
+    u, v = F.col(src), F.col(dst)
+    return (
+        edges.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Attach all neighbors > u to min(neighbors ∪ {u})."""
+    nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", F.col("u")).alias("mn"))
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Re-orient: every neighbor ≤ u (plus u itself) links to the min."""
+    nbrs = e.select("u", "v")  # already u > v
+    m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    out = (
+        nbrs.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .unionByName(m.select(F.col("u"), F.col("mn").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """→ DataFrame(node, component) — component = min node id reachable.
+
+    Nodes are whatever orderable type the edge columns carry (string
+    URIs or longs).  Isolated nodes don't appear (no edges → themselves
+    canonical); callers union them back if needed.
+    """
+    e = _canon_edges(edges, src, dst)
+    if checkpoint:
+        e = e.localCheckpoint()
+    for i in range(max_iterations):
+        e2 = _small_star(_large_star(e))
+        if checkpoint:
+            e2 = e2.localCheckpoint()
+        # convergence: edge sets equal (both canonical u>v, distinct)
+        changed = (
+            e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
+        )
+        e = e2
+        if changed:
+            break
+    # closure: every node (including former hubs) → its min root
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(comp, "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return comp.unionByName(roots)
+
+
+def canonicalize_sameas(
+    triples_or_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+    alias_prefix: str = None,
+) -> DataFrame:
+    """sameAs edge list → (uri, canonical_uri) mapping, including the
+    canonical member mapping to itself.  Apply with a broadcast or
+    shuffle join over subj/obj to rewrite a triple table.
+
+    ``alias_prefix``: URIs starting with it (mention-alias nodes) are
+    demoted when electing the component representative, so the canonical
+    id is a real entity URI whenever one is in the component."""
+    cc = connected_components(triples_or_edges, src, dst, max_iterations)
+    if alias_prefix is None:
+        return cc.select(
+            F.col("node").alias("uri"), F.col("component").alias("canonical_uri")
+        )
+    rank = F.when(F.col("node").startswith(alias_prefix), F.lit(1)).otherwise(F.lit(0))
+    # representative = min (rank, uri) per component — one extra min-agg
+    rep = (
+        cc.withColumn("key", F.concat(rank.cast("string"), F.lit("|"), F.col("node")))
+        .groupBy("component")
+        .agg(F.min("key").alias("rep_key"))
+        .select(
+            "component", F.substring_index("rep_key", "|", -1).alias("canonical_uri")
+        )
+    )
+    return cc.join(rep, "component").select(
+        F.col("node").alias("uri"), "canonical_uri"
+    )
+
+
+def rewrite_triples_canonical(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the canonical mapping (left joins keep
+    URIs that were never merged).  Two hash joins; Catalyst broadcasts
+    the mapping automatically when it is small, otherwise AQE handles
+    the shuffle/skew."""
+    m_s = mapping.withColumnsRenamed({"uri": "subj", "canonical_uri": "_cs"})
+    m_o = mapping.withColumnsRenamed({"uri": "obj", "canonical_uri": "_co"})
+    out = (
+        triples.join(m_s, "subj", "left")
+        .join(m_o, "obj", "left")
+        .withColumn("subj", F.coalesce("_cs", "subj"))
+        .withColumn(
+            "obj",
+            F.when(~F.col("is_literal"), F.coalesce("_co", "obj")).otherwise(F.col("obj")),
+        )
+        .drop("_cs", "_co")
+    )
+    return out.select("subj", "pred", "obj", "obj_datatype", "obj_lang", "is_literal")

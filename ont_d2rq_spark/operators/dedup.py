@@ -1,0 +1,245 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the d2rq reference (its DISTINCT is SURVEY §2.7 U2); these are
+the scale extensions the task brief names.  All hashing is JVM-side
+(`xxhash64`, `md5`, bit ops) — no Python in the row path.
+
+Scale notes (100 TB):
+  * exact_dedup: one shuffle on a 16-byte digest; map-side partial agg.
+  * minhash_lsh: signatures are computed in one projection (k hashes ×
+    one xxhash64 each over the shingle array via F.transform + min) —
+    no shuffle; banding explodes to b rows/doc and groups on the band
+    hash, so the shuffle volume is b × docs, independent of doc length.
+    Candidate verification re-joins only bucket-mates.
+  * simhash: 64-bit signature via per-bit weighted majority, joined on
+    bands of the signature for hamming-neighbor candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (fp, representative, n_dups): groups of byte-identical
+    (normalized) documents; representative = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingle array (distinct), pure Catalyst."""
+    toks = F.split(normalize_text(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """→ (id, sig: array<bigint>) — sig[j] = min over shingles of
+    xxhash64(shingle, seed=j).  One projection, no shuffle."""
+    sh = shingles(F.col(text_col), shingle_n).alias("sh")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), sh)
+        .filter(F.size("sh") > 0)
+        .select("id", sig.alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair.
+    → (id_a, id_b) distinct, id_a < id_b."""
+    assert bands * rows_per_band <= 1024
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact
+    Jaccard verification over shingle sets → (id_a, id_b, jaccard).
+    Verification joins the shingle arrays back only for candidates."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    joined = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over word tokens: bit i of the signature is the
+    majority vote of bit i across token hashes.  Pure Catalyst:
+    per-bit sum of ±1 via aggregate over the token-hash array."""
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_sum = lambda i: F.aggregate(
+        hashes,
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+    )
+    sig = F.aggregate(
+        F.array(*[F.when(bit_sum(i) > 0, F.lit(1 << i if i < 63 else -(2**63))).otherwise(F.lit(0)) for i in range(64)]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def hamming_distance(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by SimHash: block on 16-bit quarters (a pair
+    within hamming ≤ 3 of 64 bits shares at least one identical quarter
+    — pigeonhole), then verify the full distance."""
+    parts = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned("simhash", q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("part"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "simhash", "p.q", "p.part")
+    a, b = parts.alias("a"), parts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold.  Exact (all-pairs);
+    for the bucketed scale path see operators/similarity.py."""
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

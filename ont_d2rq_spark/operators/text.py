@@ -1,0 +1,79 @@
+"""Text analysis operators: language ID, quality scoring, token stats,
+document fingerprinting.  All pure Catalyst expressions so the same
+logic is expressible as the DuckDB oracle SQL (queries.py) — and so the
+hot path never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# function words for the n-gram/stopword language heuristic
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score (deterministic,
+    SQL-expressible): length, mean word length, stopword ratio,
+    punctuation ratio, repetition ratio."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
+    ).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    punct = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    ).cast("double")
+    mean_word_len = (F.length(text_col) - (n - 1)) / n
+    score = (
+        F.when(n < 5, 0.0).otherwise(
+            F.round(
+                0.4 * F.least(distinct_ratio * 2, F.lit(1.0))
+                + 0.3 * F.least(stop_hits / n * 10, F.lit(1.0))
+                + 0.3 * F.when((mean_word_len >= 3) & (mean_word_len <= 8), 1.0).otherwise(0.3),
+                6,
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(stop_hits / n, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(punct / F.length(text_col), 6).alias("punct_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rule-based language ID: English function-word hit ratio.
+    (Real models need external data; the heuristic is deterministic and
+    exercises the same plan shape: tokenize → dictionary semi-match →
+    ratio → classify.)"""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).cast("double")
+    ratio = F.round(hits / F.size(toks), 6)
+    return df.select(
+        F.col(id_col),
+        ratio.alias("en_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("unk").alias("lang_guess"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    (cross-engine reproducible, unlike xxhash64 which DuckDB lacks)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

@@ -602,6 +602,227 @@ FROM pairs WHERE ROUND(inter / (na + nb - inter), 6) >= 0.35
 
 
 # ---------------------------------------------------------------------------
+# North-star interleaved-document pipeline (SURVEY §7.4) — the synthesis
+# is deterministic column arithmetic, so DuckDB can REPLAY it exactly.
+# ---------------------------------------------------------------------------
+
+def q_interleaved_spans(spark, sf_dir):
+    """Flagship input: interleaved docs flattened to one row per span.
+    Exercises the array<struct> model + the span-order invariant."""
+    from ont_d2rq_spark.pipeline.docs import synthesize_interleaved
+
+    docs = synthesize_interleaved(spark, sf_dir)
+    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+_SPANS_CTE = """
+toks AS (
+  SELECT doc_id AS did, string_split(text,' ') AS t,
+         greatest(CAST(ceil(len(string_split(text,' '))/8.0) AS INT),1) AS nc
+  FROM documents
+),
+main_i AS (SELECT did, nc, unnest(range(nc)) AS i, t FROM toks),
+main2 AS (
+  SELECT did, CAST(i AS INT) AS "offset",
+    CASE WHEN (did*31+i*7)%20 < 14 THEN 'text'
+         WHEN (did*31+i*7)%20 < 17 THEN 'image'
+         WHEN (did*31+i*7)%20 < 19 THEN 'table' ELSE 'code' END AS kind,
+    CASE WHEN (did+i)%3 = 0
+         THEN array_to_string(t[(i*8+1):(i*8+8)],' ')
+              || printf(' Customer#%09d', (did*13+i*11)%(SELECT COUNT(*) FROM customer))
+         ELSE array_to_string(t[(i*8+1):(i*8+8)],' ') END AS full_text,
+    did AS d, i
+  FROM main_i
+),
+spans AS (
+  SELECT printf('doc%06d', did) AS doc_id, "offset", kind,
+         CASE WHEN kind IN ('image','table') THEN NULL ELSE full_text END AS text,
+         CASE WHEN kind IN ('image','table') THEN printf('media://doc%d/%d', d, i) END AS media_ref
+  FROM main2
+  UNION ALL
+  SELECT printf('doc%06d', did),
+         CAST(nc + j AS INT), 'text',
+         printf('hub mention Customer#%09d', (did+j)%(SELECT COUNT(*) FROM customer)),
+         NULL
+  FROM (SELECT did, nc, unnest(range(120)) AS j FROM toks WHERE did%97 = 0)
+)
+"""
+
+SQL_INTERLEAVED_SPANS = f"""
+WITH {_SPANS_CTE}
+SELECT doc_id, "offset", kind, text, media_ref FROM spans
+"""
+
+
+def q_pipeline_mentions(spark, sf_dir):
+    """Mention detection (vectorized pandas-UDF regex over Arrow
+    batches) — the oracle replays it as a token scan, proving the UDF
+    path produces exactly the declarative result."""
+    from ont_d2rq_spark.pipeline.docs import detect_mentions, synthesize_interleaved
+
+    return detect_mentions(synthesize_interleaved(spark, sf_dir))
+
+
+SQL_PIPELINE_MENTIONS = f"""
+WITH {_SPANS_CTE},
+tok AS (
+  SELECT doc_id, "offset", unnest(string_split(text,' ')) AS w
+  FROM spans WHERE kind = 'text' AND text IS NOT NULL
+)
+SELECT doc_id, "offset", w AS mention FROM tok
+WHERE regexp_full_match(w, 'Customer#[0-9]{{9}}')
+   OR w IN ({", ".join("'" + t + "'" for t in ["spark", "join", "window", "filter", "vector", "stream"])})
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    """Large-star/small-star connected components (J6) on a bipartite
+    customer↔nation graph whose components have a closed-form oracle."""
+    from ont_d2rq_spark.operators.cc import connected_components
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = c.select(
+        F.col("c_custkey").cast("bigint").alias("src"),
+        (F.lit(1000000) + F.col("c_nationkey")).cast("bigint").alias("dst"),
+    )
+    return connected_components(edges).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH mn AS (SELECT c_nationkey, MIN(c_custkey) AS mc FROM customer GROUP BY c_nationkey)
+SELECT CAST(c_custkey AS BIGINT) AS node, CAST(mc AS BIGINT) AS component
+FROM customer JOIN mn USING (c_nationkey)
+UNION ALL
+SELECT CAST(1000000 + c_nationkey AS BIGINT), CAST(mc AS BIGINT) FROM mn
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    from ont_d2rq_spark.operators.text import quality_score
+
+    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is"])
+
+SQL_DOC_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id, text, string_split(text,' ') AS t,
+         CAST(len(string_split(text,' ')) AS DOUBLE) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n,
+         CAST(len(list_filter(t, x -> x IN ({_STOP_IN}))) AS DOUBLE) AS stop_hits,
+         CAST(len(list_distinct(t)) AS DOUBLE) / n AS distinct_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS punct,
+         (length(text) - (n - 1)) / n AS mean_word_len,
+         CAST(length(text) AS DOUBLE) AS chars
+  FROM b
+)
+SELECT doc_id,
+       ROUND(stop_hits / n, 6) AS stopword_ratio,
+       ROUND(distinct_ratio, 6) AS distinct_ratio,
+       ROUND(punct / chars, 6) AS punct_ratio,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       CASE WHEN n < 5 THEN 0.0 ELSE
+         ROUND(0.4 * least(distinct_ratio * 2, 1.0)
+             + 0.3 * least(stop_hits / n * 10, 1.0)
+             + 0.3 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 8 THEN 1.0 ELSE 0.3 END), 6)
+       END AS quality
+FROM f
+"""
+
+
+def q_doc_language_id(spark, sf_dir):
+    from ont_d2rq_spark.operators.text import language_id
+
+    return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+SQL_DOC_LANGUAGE_ID = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text),' '), x -> x IN ({_STOP_IN}))) AS DOUBLE)
+           / len(string_split(lower(text),' ')) AS r
+  FROM documents
+)
+SELECT doc_id, ROUND(r, 6) AS en_ratio,
+       CASE WHEN ROUND(r, 6) >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
+FROM b
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    from ont_d2rq_spark.operators.dedup import embedding_near_dup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup(e, threshold=0.3)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.3
+"""
+
+
+# -- rows-only entries (hash/UDF paths DuckDB cannot replay: xxhash64,
+#    numpy LSH planes, stubbed media decode, iterative checkpointing) ----
+
+def q_minhash_dedup(spark, sf_dir):
+    from ont_d2rq_spark.operators.dedup import minhash_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(d, threshold=0.5)
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    from ont_d2rq_spark.operators.dedup import simhash_candidates, simhash_signatures
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_candidates(simhash_signatures(d), max_hamming=16)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from ont_d2rq_spark.operators.similarity import lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_topk(e, q, dim=64, k=5, planes=6, tables=12)
+
+
+def q_media_decode(spark, sf_dir):
+    from ont_d2rq_spark.operators.multimodal import decode_media, media_refs_from_docs
+    from ont_d2rq_spark.pipeline.docs import synthesize_interleaved
+
+    docs = synthesize_interleaved(spark, sf_dir)
+    return decode_media(media_refs_from_docs(docs))
+
+
+def q_pipeline_kg(spark, sf_dir):
+    """Full north-star pipeline: synth → integrity → mentions → link →
+    sameAs connected components → canonical rewrite."""
+    from ont_d2rq_spark.pipeline.docs import build_kg
+
+    return build_kg(spark, sf_dir, root=None)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -630,6 +851,17 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "similarity_topk": q_similarity_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "interleaved_spans": q_interleaved_spans,
+    "pipeline_mentions": q_pipeline_mentions,
+    "connected_components": q_connected_components,
+    "doc_quality": q_doc_quality,
+    "doc_language_id": q_doc_language_id,
+    "embedding_near_dup": q_embedding_near_dup,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "media_decode": q_media_decode,
+    "pipeline_kg": q_pipeline_kg,
 }
 
 
@@ -659,4 +891,15 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "interleaved_spans": SQL_INTERLEAVED_SPANS,
+        "pipeline_mentions": SQL_PIPELINE_MENTIONS,
+        "connected_components": SQL_CONNECTED_COMPONENTS,
+        "doc_quality": SQL_DOC_QUALITY,
+        "doc_language_id": SQL_DOC_LANGUAGE_ID,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        # minhash_dedup / simhash_near_dup / ann_lsh_topk / media_decode /
+        # pipeline_kg: intentionally no oracle — xxhash64/numpy-LSH/stubbed
+        # decode/iterative CC are not DuckDB-replayable; driver records
+        # rows-only checks (pipeline_kg's CC verified by the
+        # connected_components oracle + pytest goldens instead).
     }

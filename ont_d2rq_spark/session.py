@@ -7,8 +7,37 @@ spark-submit deployment would set cluster-side (minus master/memory).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ont_d2rq_spark importable on executor Python workers —
+    the local-mode equivalent of ``spark-submit --py-files pkg.zip``
+    (the deployment mode the north rule prescribes).  Needed because
+    pandas-UDF kernels are cloudpickled BY REFERENCE to this module, so
+    workers must import it; a driver whose cwd is elsewhere would
+    otherwise fail with ModuleNotFoundError mid-query.  Idempotent."""
+    if getattr(spark, "_ont_d2rq_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "ont_d2rq_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.join(
+                            "ont_d2rq_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark._ont_d2rq_shipped = True
 
 
 def get_spark(
