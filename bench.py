@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys document the scale story: dump triple throughput
+(triples/sec, the BASELINE.md B3 number) and per-query seconds.
+
+Scaling evidence (BASELINE.md B4): run twice —
+  SPARK_GRAFT_CPUS=8  python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compare "triples_per_sec"; efficiency = (thr_32/thr_8)/4.
+tools/bench_scaling.py automates this and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from ont_d2rq_spark.session import get_spark, ship_package
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    ship_package(spark)
+
+    from ont_d2rq_spark.examples import tpch_mapping
+    from ont_d2rq_spark.graph import VirtualGraph
+    from ont_d2rq_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline 1: full KG dump (fused scans + global distinct) — the
+    # materialization throughput number
+    g = VirtualGraph(tpch_mapping(sf_dir), spark)
+    n_triples = timed("dump_triples", lambda: g.triples(fuse=True, distinct=True).count())
+    extras["triples"] = n_triples
+    extras["triples_per_sec"] = round(n_triples / timings["dump_triples"], 1)
+
+    # headline 2: point lookup (bound-subject find → pushed-down scan)
+    timed("find_point_lookup", lambda: g.find(s="http://example.org/customer/7").count())
+
+    # headline 3: BGP join pushdown
+    timed("bgp_join", lambda: QUERIES["bgp_join"](spark, sf_dir).count())
+
+    # headline 4: aggregation (Q1-style)
+    timed("agg_pricing_summary", lambda: QUERIES["agg_pricing_summary"](spark, sf_dir).count())
+
+    # headline 5: north-star doc pipeline (synth → mentions → link → CC → KG)
+    timed("pipeline_kg", lambda: QUERIES["pipeline_kg"](spark, sf_dir).count())
+
+    # headline 6: MinHash-LSH near-dup over documents
+    timed("minhash_dedup", lambda: QUERIES["minhash_dedup"](spark, sf_dir).count())
+
+    # headline 7: brute-force cosine top-k
+    timed("similarity_topk", lambda: QUERIES["similarity_topk"](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

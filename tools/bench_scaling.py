@@ -1,0 +1,184 @@
+"""Scaling-evidence harness (BASELINE.md B4 / north rule).
+
+Measures the flagship materialization job — full-mapping KG dump with
+global distinct — at two parallelism levels (local[N], local[4N]) on
+the SAME input, and writes BENCH/BASELINE.md with throughput at both
+plus scaling efficiency  eff = (thr_4N / thr_N) / 4.
+
+Protocol (each level, own JVM):
+  1. input: sf0.1 driver tables inflated ×16 by key-shifted replication
+     (≈39 M output triples) — at raw sf0.1 (2.5 M triples) the job
+     finishes in ~3 s on 32 cores and per-task overhead swamps the
+     signal; the inflated copy is the same job at a size where compute
+     dominates.  Built once, deterministic, from driver data only.
+  2. one un-timed warm-up dump (JIT + codegen cache + scan index).
+  3. THREE timed dumps, each on a FRESH plan instance (a repeated
+     .count() on the same DataFrame would silently reuse the previous
+     run's shuffle files and only re-execute the reduce side).
+  4. median wall → triples/sec.
+
+Usage: python tools/bench_scaling.py [N] [K_inflate]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+SCALE_DIR = "/tmp/scale_input"
+SRC = "/root/testdata/sf0.1"
+
+_PREP = f'''
+import sys, functools
+sys.path.insert(0, "{REPO}")
+from ont_d2rq_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(master="local[32]", shuffle_partitions=32)
+K = int(sys.argv[1])
+def inflate(name, keycols, parts):
+    df = spark.read.parquet(f"{SRC}/{{name}}.parquet")
+    frames = []
+    for i in range(K):
+        f = df
+        for c in keycols:
+            f = f.withColumn(c, F.col(c) + F.lit(i * 1_000_000_000))
+        frames.append(f)
+    out = functools.reduce(lambda a, b: a.unionByName(b), frames)
+    out.repartition(parts).write.mode("overwrite").parquet(f"{SCALE_DIR}/{{name}}.parquet")
+inflate("lineitem", ["l_orderkey"], 64)
+inflate("orders", ["o_orderkey"], 32)
+inflate("customer", ["c_custkey"], 16)
+for t in ["region", "nation", "supplier", "part", "events", "documents", "embeddings"]:
+    spark.read.parquet(f"{SRC}/{{t}}.parquet").write.mode("overwrite").parquet(
+        f"{SCALE_DIR}/{{t}}.parquet")
+print("PREP_DONE")
+'''
+
+_MEASURE = f'''
+import time, sys, json, statistics
+sys.path.insert(0, "{REPO}")
+cpus, sp = int(sys.argv[1]), int(sys.argv[2])
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+  .config("spark.sql.shuffle.partitions", str(sp))
+  .config("spark.sql.adaptive.enabled", "true")
+  .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+  .config("spark.sql.adaptive.skewJoin.enabled", "true")
+  .config("spark.driver.memory", "56g")
+  .config("spark.driver.extraJavaOptions", "-Xms24g -XX:+UseG1GC")
+  .config("spark.sql.session.timeZone", "UTC")
+  .config("spark.ui.enabled", "false")
+  .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from ont_d2rq_spark.examples import tpch_mapping
+from ont_d2rq_spark.graph import VirtualGraph
+
+def fresh():
+    g = VirtualGraph(tpch_mapping("{SCALE_DIR}"), spark)
+    return g.triples(fuse=True, distinct=True)
+
+n = fresh().count()  # warm-up, un-timed
+walls = []
+for _ in range(3):
+    t0 = time.perf_counter(); fresh().count(); walls.append(time.perf_counter() - t0)
+med = statistics.median(walls)
+print("MEASURE " + json.dumps({{"cpus": cpus, "sp": sp, "triples": n,
+  "walls": [round(w, 1) for w in walls], "median_wall": round(med, 1),
+  "triples_per_sec": round(n / med)}}))
+'''
+
+
+def run(code: str, *args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, "-c", code, *args], capture_output=True, text=True, timeout=3600
+    )
+    return out.stdout + out.stderr
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    if not os.path.exists(f"{SCALE_DIR}/lineitem.parquet"):
+        assert "PREP_DONE" in run(_PREP, str(k))
+    results = {}
+    for cpus in (n, 4 * n):
+        out = run(_MEASURE, str(cpus), "64")
+        line = [l for l in out.splitlines() if l.startswith("MEASURE ")][-1]
+        results[cpus] = json.loads(line[len("MEASURE "):])
+    r_n, r_4n = results[n], results[4 * n]
+    eff = round((r_4n["triples_per_sec"] / r_n["triples_per_sec"]) / 4, 3)
+
+    md = [
+        "# BENCH/BASELINE — measured throughput + scaling evidence",
+        "",
+        "## Protocol",
+        "",
+        f"Job: full-mapping KG dump (fused one-scan-per-table bridge evaluation "
+        f"→ union → global distinct) — the reference's dump-rdf equivalent "
+        f"(BASELINE.md B3).  Input: driver sf0.1 tables inflated ×{k} by "
+        f"key-shifted replication ({r_n['triples']:,} output triples), same "
+        f"input at both levels.  local[{n}] vs local[{4*n}] stands in for N vs "
+        "4N executors per the driver instruction.  Per level: fresh JVM, one "
+        "un-timed warm-up, then median of 3 timed runs, each on a fresh plan "
+        "instance (repeat-count on one DataFrame would reuse shuffle files).  "
+        "AQE on; shuffle partitions 64.",
+        "",
+        "## Results (BASELINE.md B3/B4)",
+        "",
+        f"| metric | local[{n}] | local[{4*n}] |",
+        "|---|---|---|",
+        f"| dump wall, median of 3 (sec) | {r_n['median_wall']} | {r_4n['median_wall']} |",
+        f"| dump wall, all runs (sec) | {r_n['walls']} | {r_4n['walls']} |",
+        f"| throughput (triples/sec) | {r_n['triples_per_sec']:,} | {r_4n['triples_per_sec']:,} |",
+        "",
+        f"**Scaling efficiency = (thr@{4*n} / thr@{n}) / 4 = {eff}**",
+        "",
+        "## Caveats (single-box proxy)",
+        "",
+        "- All levels share one machine: one NVMe for shuffle spill, one "
+        "memory bus, shared LLC.  Measured 32-way CPU capacity of this box "
+        "is ~21 effective cores (turbo/cache sharing: 32 parallel fixed-work "
+        "processes run 1.5× slower per task than 1) — a hard ceiling of "
+        "~0.66 on any 8→32 efficiency measured here that real 4× executor "
+        "hardware does not have.",
+        "- Run-to-run variance on this VM is ±30% (noisy neighbor); medians "
+        "of 3 are reported, raw walls shown.",
+        "- At raw sf0.1 (2.5 M triples) the dump takes ~3 s on 32 cores — "
+        "per-stage fixed costs dominate and wall-clock *increases* with "
+        "cores; that regime measures scheduler overhead, not the engine. "
+        "The inflated input is the same job at a size where the plan's "
+        "scan→mint→shuffle pipeline is the cost.",
+        "",
+        "## Scale design notes (what holds at 1000 executors / 100 TB)",
+        "",
+        "- One scan per table regardless of bridge count (fusion via "
+        "explode(array(struct…))) — scan volume is O(data), not O(bridges).",
+        "- Minting/encoding is whole-stage-codegen'd; zero Python in the "
+        "row path (pandas UDFs only in mention detection, Arrow-batched).",
+        "- FK-hinted dimension joins broadcast; fact side never shuffles "
+        "for refersToClassMap bridges.",
+        "- The only global shuffle is the final distinct on the triple id; "
+        "it partitions by hash(subj,pred,obj,…), is combiner-backed "
+        "(partial aggregation map-side), and AQE re-splits skewed "
+        "partitions. Salted (pred, salt) repartitioning handles hub "
+        "entities at write time (pipeline/docs.py materialize_triples).",
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps(r_n),
+        json.dumps(r_4n),
+        "```",
+    ]
+    out = REPO / "BENCH" / "BASELINE.md"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text("\n".join(md) + "\n")
+    print(f"efficiency={eff}  → {out}")
+
+
+if __name__ == "__main__":
+    main()
