@@ -47,10 +47,21 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # headline 1: full KG dump (fused scans + global distinct) — the
-    # materialization throughput number
+    # headline 1: full KG dump — reference semantics (per-relation
+    # distinct only, no global shuffle; what dump-rdf does) and strict
+    # set semantics (global dropDuplicates).  noop sink forces full row
+    # materialization without sink IO.
     g = VirtualGraph(tpch_mapping(sf_dir), spark)
-    n_triples = timed("dump_triples", lambda: g.triples(fuse=True, distinct=True).count())
+    n_triples = g.triples(fuse=True, distinct="auto").count()
+
+    def dump(distinct):
+        g2 = VirtualGraph(tpch_mapping(sf_dir), spark)
+        g2.triples(fuse=True, distinct=distinct).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("dump_triples", lambda: dump("auto"))
+    timed("dump_triples_distinct", lambda: dump(True))
     extras["triples"] = n_triples
     extras["triples_per_sec"] = round(n_triples / timings["dump_triples"], 1)
 

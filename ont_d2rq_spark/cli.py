@@ -1,0 +1,111 @@
+"""Command-line tools — the analogue of the reference's bin/ scripts.
+
+  dump-rdf          materialize the virtual graph to N-Triples / parquet
+                    (reference: d2rq dump-rdf tool)
+  generate-mapping  auto-write a mapping from table schemas
+                    (reference: generate-mapping / MappingGenerator)
+  validate          parse + validate a mapping, print the compiled plan
+
+Usage:
+  python -m ont_d2rq_spark.cli dump-rdf -m mapping.ttl -d /data/sf0.1 -o /out/nt
+  python -m ont_d2rq_spark.cli generate-mapping -d /data/sf0.1 -t customer,nation -o map.ttl
+  python -m ont_d2rq_spark.cli validate -m mapping.yaml -d /data/sf0.1
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _load_mapping(path: str, base_dir: str):
+    if path.endswith((".ttl", ".n3")):
+        from ont_d2rq_spark.mapping.ttl import load_mapping_ttl
+
+        return load_mapping_ttl(path, base_dir=base_dir)
+    from ont_d2rq_spark.mapping.parser import load_mapping
+
+    m = load_mapping(path)
+    if base_dir:
+        m.database.base_dir = base_dir
+    return m
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ont_d2rq_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_dump = sub.add_parser("dump-rdf", help="materialize the virtual graph")
+    p_dump.add_argument("-m", "--mapping", required=True)
+    p_dump.add_argument("-d", "--base-dir", required=True, help="parquet table dir")
+    p_dump.add_argument("-o", "--out", required=True)
+    p_dump.add_argument("--format", choices=["ntriples", "parquet"], default="ntriples")
+    p_dump.add_argument("--no-distinct", action="store_true")
+    p_dump.add_argument("--master", default=None)
+
+    p_gen = sub.add_parser("generate-mapping", help="mapping from table schemas")
+    p_gen.add_argument("-d", "--base-dir", required=True)
+    p_gen.add_argument("-t", "--tables", required=True, help="comma-separated")
+    p_gen.add_argument("-o", "--out", required=True, help="output .ttl path")
+    p_gen.add_argument("-b", "--base-iri", default="http://example.org/")
+    p_gen.add_argument("--direct-mapping", action="store_true")
+    p_gen.add_argument("--fk", action="append", default=[], help="t.c=ref.c (repeat)")
+    p_gen.add_argument("--master", default=None)
+
+    p_val = sub.add_parser("validate", help="parse + validate a mapping")
+    p_val.add_argument("-m", "--mapping", required=True)
+    p_val.add_argument("-d", "--base-dir", default=None)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "validate":
+        m = _load_mapping(args.mapping, args.base_dir)
+        m.validate()
+        print(
+            f"OK: {len(m.class_maps)} class maps, {len(m.bridges)} property "
+            f"bridges, {len(m.translation_tables)} translation tables, "
+            f"{len(m.download_maps)} download maps"
+        )
+        return 0
+
+    from ont_d2rq_spark.session import get_spark, ship_package
+
+    spark = get_spark(app=f"cli-{args.cmd}", master=args.master)
+    ship_package(spark)
+
+    if args.cmd == "dump-rdf":
+        from ont_d2rq_spark.graph import VirtualGraph
+
+        g = VirtualGraph(_load_mapping(args.mapping, args.base_dir), spark)
+        triples = g.triples(fuse=True, distinct=not args.no_distinct)
+        if args.format == "ntriples":
+            g.dump_nt(args.out, triples)
+        else:
+            from ont_d2rq_spark.pipeline.docs import materialize_triples
+
+            materialize_triples(triples, args.out)
+        print(f"dumped → {args.out}")
+        return 0
+
+    if args.cmd == "generate-mapping":
+        from ont_d2rq_spark.mapgen import generate_mapping
+        from ont_d2rq_spark.mapping.serialize import to_ttl
+
+        fks = dict(kv.split("=", 1) for kv in args.fk)
+        m = generate_mapping(
+            spark,
+            args.base_dir,
+            args.tables.split(","),
+            base_iri=args.base_iri,
+            foreign_keys=fks,
+            direct_mapping=args.direct_mapping,
+        )
+        with open(args.out, "w") as f:
+            f.write(to_ttl(m))
+        print(f"mapping → {args.out}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

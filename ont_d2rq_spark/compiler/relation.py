@@ -484,9 +484,14 @@ class MappingCompiler:
             return val, F.lit(None).cast("string"), F.lit(None).cast("string"), False, required
         raise MappingError(f"unknown node kind {spec.kind}")
 
-    def triple_struct(self, cb: CompiledBridge) -> tuple[Column, Column]:
+    def triple_struct(
+        self, cb: CompiledBridge, guard_conditions: bool = False
+    ) -> tuple[Column, Column]:
         """(struct(subj,pred,obj,…) or NULL, usable-for-fusion marker).
-        NULL when any required column is NULL (P6) or object untranslatable."""
+        NULL when any required column is NULL (P6) or object untranslatable.
+        With ``guard_conditions`` the bridge's d2rq:condition filters are
+        folded into the guard instead of the relation — used by join
+        fusion, where bridges with different conditions share one scan."""
         s_val, _, _, _, s_req = self._node_exprs(cb, cb.subject)
         p_val, _, _, _, p_req = self._node_exprs(cb, cb.predicate)
         o_val, o_dt, o_lang, o_lit, o_req = self._node_exprs(cb, cb.object)
@@ -503,6 +508,16 @@ class MappingCompiler:
         )
         for q in set(s_req + p_req + o_req):
             notnull = notnull & F.col(q).isNotNull()
+        if guard_conditions is not False:  # may be an (empty) skip-set
+            # a LEFT-joined dim row that is absent leaves the join columns
+            # NULL ⇒ guard false ⇒ no triple: left join + guard ≡ the
+            # bridge's original inner join + filter
+            for j in cb.joins:
+                notnull = notnull & F.col(j.left).isNotNull() & F.col(j.right).isNotNull()
+            skip = guard_conditions if isinstance(guard_conditions, (set, frozenset)) else ()
+            for cond in cb.conditions:
+                if cond not in skip:
+                    notnull = notnull & F.expr(cond)
         return F.when(notnull, struct), notnull
 
     # ---------------- evaluation ------------------------------------
@@ -534,32 +549,94 @@ class MappingCompiler:
             out = out.limit(cap)
         return out
 
+    def _n_to_1_joins(self, cb: CompiledBridge) -> bool:
+        """True when every join of the bridge attaches a REFERENCED (PK,
+        '=>'/'<=' hint) table to the base — i.e. N:1 fact→dim hops that
+        cannot multiply base rows.  Only such bridges may join-fuse."""
+        if not cb.joins:
+            return True
+        for j in cb.joins:
+            lt, rt = j.tables()
+            if j.direction == "=>" and lt == cb.base_alias:
+                continue
+            if j.direction == "<=" and rt == cb.base_alias:
+                continue
+            return False
+        return True
+
     def fused_df(self, bridges: list[CompiledBridge]) -> DataFrame:
-        """Fusion: N bridges over one relation → ONE scan.
-        explode(array_compact(array(struct,…))) emits every bridge's
-        triple from a single pass (union batching, SURVEY §4)."""
+        """Fusion: all bridges sharing a base table → ONE scan of it.
+
+        Two levels (the Spark re-expression of union batching,
+        algebra/CompatibleRelationGroup.java — SURVEY §4):
+          * projection fusion: bridges over the identical relation emit
+            their triples via explode(array_compact(array(struct,…)));
+          * join fusion: single-hop N:1 (FK-hinted) join bridges are
+            folded into the base group — their dims attach as LEFT
+            broadcast joins and their conditions/join-null checks move
+            into per-bridge struct guards.  A 100 TB fact table is then
+            scanned ONCE for all its bridges instead of once per join
+            bridge; dims are broadcast, the fact side never shuffles.
+        Bridges with order/limit/distinct, multi-hop or un-hinted joins
+        evaluate standalone (rare; never the hot fact path)."""
         by_key: dict = {}
+        singles: list[CompiledBridge] = []
         for cb in bridges:
-            by_key.setdefault(cb.relation_key(), []).append(cb)
+            if cb.limit is not None or cb.order_column or cb.distinct or not self._n_to_1_joins(cb):
+                singles.append(cb)
+                continue
+            key = (cb.base_table, cb.base_alias, tuple(sorted(cb.aliases.items())))
+            by_key.setdefault(key, []).append(cb)
+
         frames = []
-        for key, group in by_key.items():
-            fusible = [
-                cb
-                for cb in group
-                if cb.limit is None and cb.order_column is None and not cb.distinct
-            ]
-            rest = [cb for cb in group if cb not in fusible]
-            if len(fusible) >= 2:
-                df = self._build_relation(fusible[0])
-                structs = [self.triple_struct(cb)[0] for cb in fusible]
-                fused = df.select(
-                    F.explode(F.array_compact(F.array(*structs))).alias("t")
-                ).select("t.*")
-                frames.append(fused)
-            else:
-                rest = group
-            for cb in rest:
-                frames.append(self.bridge_df(cb))
+        for (base_table, base_alias, aliases), group in by_key.items():
+            # alias-conflict check: one join spec per joined table alias
+            join_env: dict[str, tuple] = {}
+            fused: list[CompiledBridge] = []
+            for cb in group:
+                specs = {}
+                ok = True
+                for j in cb.joins:
+                    lt, rt = j.tables()
+                    tgt = rt if lt == base_alias else lt
+                    spec = (j.left, j.right)
+                    if join_env.get(tgt, spec) != spec or specs.get(tgt, spec) != spec:
+                        ok = False
+                        break
+                    specs[tgt] = spec
+                if ok:
+                    join_env.update(specs)
+                    fused.append(cb)
+                else:
+                    singles.append(cb)
+            if not fused:
+                continue
+            if len(fused) == 1 and not fused[0].joins:
+                frames.append(self.bridge_df(fused[0]))
+                continue
+            alias_map = dict(aliases)
+            df = self.table(base_table).alias(base_alias)
+            for tgt, (left, right) in join_env.items():
+                other = self.table(alias_map.get(tgt, tgt)).alias(tgt)
+                if self.use_broadcast_hints:
+                    other = F.broadcast(other)
+                df = df.join(other, F.col(left) == F.col(right), "left")
+            # conditions every fused bridge shares (e.g. the ClassMap-level
+            # d2rq:condition) stay on the relation → pushed to the scan;
+            # only per-bridge extras become struct guards
+            common = frozenset.intersection(
+                *[frozenset(cb.conditions) for cb in fused]
+            )
+            for cond in common:
+                df = df.filter(F.expr(cond))
+            structs = [self.triple_struct(cb, guard_conditions=common)[0] for cb in fused]
+            fused_frame = df.select(
+                F.explode(F.array_compact(F.array(*structs))).alias("t")
+            ).select("t.*")
+            frames.append(fused_frame)
+
+        for cb in singles:
+            frames.append(self.bridge_df(cb))
         if not frames:
             return self.spark.createDataFrame([], TRIPLE_SCHEMA)
         return reduce(lambda a, b: a.unionByName(b), frames)

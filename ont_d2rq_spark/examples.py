@@ -119,6 +119,15 @@ def tpch_mapping(sf_dir: str) -> Mapping:
     )
     m.add_bridge(
         PropertyBridge(
+            name="customer.display",
+            belongs_to_class_map="customer",
+            properties=[EX + "display"],
+            # d2rq:pattern literal (F1 in literal position)
+            pattern="Customer @@customer.c_custkey@@ (@@customer.c_mktsegment@@)",
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
             name="customer.nation",
             belongs_to_class_map="customer",
             properties=[EX + "inNation"],

@@ -171,12 +171,24 @@ class VirtualGraph:
         return reduce(lambda a, b: a.unionByName(b), frames)
 
     # ------------------------------------------------------------------
-    def bgp(self, patterns: Sequence[tuple]) -> DataFrame:
+    def bgp(
+        self,
+        patterns: Sequence[tuple],
+        filters: Optional[Sequence[str]] = None,
+        optional: Optional[Sequence[Sequence[tuple]]] = None,
+    ) -> DataFrame:
         """Basic graph pattern → joined DataFrame of variable bindings.
 
         Each pattern is (s, p, o); terms are constants or '?var'/Var.
         Shared variables join (reference: NodeRelationJoiner); result has
-        one string column per variable (node lexical value)."""
+        one string column per variable (node lexical value).
+
+        ``filters``: Spark-SQL boolean expressions over variable names —
+        the pushable subset of SPARQL FILTER (Catalyst pushes them into
+        the joins/scans where possible; the reference translates the
+        same subset to SQL via TransformExprToSQLApplyer).
+        ``optional``: a list of OPTIONAL groups (each its own pattern
+        list) left-joined on the shared variables — SPARQL OPTIONAL."""
         frames: list[DataFrame] = []
         for s, p, o in patterns:
             candidates = []
@@ -213,11 +225,33 @@ class VirtualGraph:
         for nxt in frames[1:]:
             shared = [c for c in out.columns if c in nxt.columns]
             out = out.join(nxt, on=shared, how="inner") if shared else out.crossJoin(nxt)
+        for group in optional or []:
+            sub = self.bgp(group)
+            shared = [c for c in out.columns if c in sub.columns]
+            out = out.join(sub, on=shared, how="left") if shared else out.crossJoin(sub)
+        for f in filters or []:
+            out = out.filter(F.expr(f))
         return out
 
     # ------------------------------------------------------------------
-    def triples(self, fuse: bool = True, distinct: bool = True) -> DataFrame:
-        """Full virtual graph (dump-rdf / Mapping.getData() analogue)."""
+    def triples(self, fuse: bool = True, distinct="auto") -> DataFrame:
+        """Full virtual graph (dump-rdf / Mapping.getData() analogue).
+
+        ``distinct``:
+          'auto' (default) — reference semantics (Relation.isUnique,
+            SURVEY §2.7 U2): per-relation DISTINCT only where the
+            classmap declares d2rq:containsDuplicates (already applied
+            inside bridge_df); no global dedup.  Bridges mint subjects
+            from per-row keys and predicates are bridge-constants, so
+            cross-bridge duplicates cannot arise from a well-formed
+            mapping — exactly the reasoning the reference applies.
+            This keeps the dump a pure map-side pipeline: scan → mint →
+            union → sink, NO global shuffle (the difference between
+            ~0.6 and ~1.0 scaling efficiency at 4× parallelism).
+          True — strict RDF-set semantics: global dropDuplicates on the
+            triple identity (one full shuffle).  Use when the mapping
+            may emit overlapping triples from different bridges.
+          False — raw union, even per-relation duplicates kept."""
         if fuse:
             df = self.compiler.fused_df(self.bridges)
         else:
@@ -229,7 +263,7 @@ class VirtualGraph:
             from ont_d2rq_spark.schema_graph import schema_triples
 
             df = df.unionByName(schema_triples(self.mapping, self.spark))
-        if distinct:
+        if distinct is True:
             df = df.dropDuplicates(["subj", "pred", "obj", "obj_datatype", "obj_lang"])
         return df
 

@@ -87,17 +87,30 @@ def connected_components(
     e = _canon_edges(edges, src, dst)
     if checkpoint:
         e = e.localCheckpoint()
+
+    def _sig(df):
+        # set fingerprint: (count, sum of row hashes).  Both iterates are
+        # DISTINCT canonical edge sets, so equal fingerprints ⇒ equal
+        # sets (collision odds ~2^-64).  ONE aggregate job per iteration
+        # instead of two exceptAll anti-joins — at power-law edge scale
+        # the convergence check would otherwise cost as much as the step.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: long sum of hashes overflows under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    sig = _sig(e)
     for i in range(max_iterations):
         e2 = _small_star(_large_star(e))
         if checkpoint:
             e2 = e2.localCheckpoint()
-        # convergence: edge sets equal (both canonical u>v, distinct)
-        changed = (
-            e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
-        )
+        sig2 = _sig(e2)
         e = e2
-        if changed:
+        if sig2 == sig:
             break
+        sig = sig2
     # closure: every node (including former hubs) → its min root
     comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = (

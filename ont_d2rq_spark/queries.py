@@ -245,6 +245,10 @@ UNION ALL
 SELECT 'http://example.org/customer/7', 'http://example.org/acctbal', CAST(c_acctbal AS VARCHAR),
        '{XSD_DOUBLE}', NULL, TRUE FROM c WHERE c_acctbal IS NOT NULL
 UNION ALL
+SELECT 'http://example.org/customer/7', 'http://example.org/display',
+       'Customer ' || CAST(c_custkey AS VARCHAR) || ' (' || c_mktsegment || ')',
+       NULL, NULL, TRUE FROM c WHERE c_mktsegment IS NOT NULL
+UNION ALL
 SELECT 'http://example.org/customer/7', 'http://example.org/marketSegment', {_SEG_CASE},
        NULL, NULL, FALSE FROM c WHERE {_SEG_CASE} IS NOT NULL
 UNION ALL
@@ -608,6 +612,85 @@ FROM pairs WHERE ROUND(inter / (na + nb - inter), 6) >= 0.35
 """
 
 
+def q_pattern_literal(spark, sf_dir):
+    """d2rq:pattern literal object (F1 in literal position)."""
+    return _bridges(spark, sf_dir, {"customer.display"})
+
+
+SQL_PATTERN_LITERAL = """
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+       'http://example.org/display' AS pred,
+       'Customer ' || CAST(c_custkey AS VARCHAR) || ' (' || c_mktsegment || ')' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       TRUE AS is_literal
+FROM customer WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+"""
+
+
+def q_encoders(spark, sf_dir):
+    """Encoder trio (F2): urlencode / urlify / encode over a spaced value."""
+    from ont_d2rq_spark.functions.pattern import encode_expr
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        encode_expr(F.col("p_type"), "urlencode").alias("enc_urlencode"),
+        encode_expr(F.col("p_type"), "urlify").alias("enc_urlify"),
+        encode_expr(F.col("p_type"), "encode").alias("enc_encode"),
+    )
+
+
+# p_type values use only [A-Z ] so the encoders reduce to space handling
+SQL_ENCODERS = """
+SELECT p_partkey,
+       replace(p_type, ' ', '+') AS enc_urlencode,
+       replace(p_type, ' ', '_') AS enc_urlify,
+       replace(p_type, ' ', '%20') AS enc_encode
+FROM part
+"""
+
+
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (A1 extension: free on Catalyst, ARQ lacks it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT/EXCEPT (U3): building-segment customers with orders,
+    minus those from nation 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    nation0 = c.filter(F.col("c_nationkey") == 0).select("c_custkey")
+    return building.intersect(with_orders).exceptAll(nation0)
+
+
+SQL_SET_INTERSECT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_nationkey = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # North-star interleaved-document pipeline (SURVEY §7.4) — the synthesis
 # is deterministic column arithmetic, so DuckDB can REPLAY it exactly.
@@ -858,6 +941,10 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "similarity_topk": q_similarity_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "pattern_literal": q_pattern_literal,
+    "encoders": q_encoders,
+    "agg_rollup": q_agg_rollup,
+    "set_intersect": q_set_intersect,
     "interleaved_spans": q_interleaved_spans,
     "pipeline_mentions": q_pipeline_mentions,
     "connected_components": q_connected_components,
@@ -898,6 +985,10 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "pattern_literal": SQL_PATTERN_LITERAL,
+        "encoders": SQL_ENCODERS,
+        "agg_rollup": SQL_AGG_ROLLUP,
+        "set_intersect": SQL_SET_INTERSECT,
         "interleaved_spans": SQL_INTERLEAVED_SPANS,
         "pipeline_mentions": SQL_PIPELINE_MENTIONS,
         "connected_components": SQL_CONNECTED_COMPONENTS,

@@ -220,6 +220,30 @@ def test_nt_rendering(graph):
     }
 
 
+def test_bgp_filter_and_optional(graph):
+    """SPARQL FILTER + OPTIONAL analogues over the BGP result."""
+    rows = graph.bgp(
+        [("?p", EX + "authorOf", "?paper")],
+        filters=["paper like '%paper1'"],
+        optional=[[("?paper", EX + "title", "?title")]],
+    )
+    got = {(r["p"], r["paper"], r["title"]) for r in rows.collect()}
+    assert got == {
+        (EX + "person1", EX + "paper1", "Trusting Trust"),
+        (EX + "person2", EX + "paper1", "Trusting Trust"),
+    }
+    # optional with no match → NULL binding, row kept
+    rows2 = graph.bgp(
+        [("?paper", EX + "conference", EX + "conf11")],
+        optional=[[("?paper", EX + "title", "?title")]],
+    )
+    got2 = {(r["paper"], r["title"]) for r in rows2.collect()}
+    assert got2 == {
+        (EX + "paper1", "Trusting Trust"),
+        (EX + "paper2", None),  # paper2 has NULL title (P6) but still binds
+    }
+
+
 def test_bgp_multi_pattern(graph):
     rows = graph.bgp(
         [

@@ -49,12 +49,20 @@ def test_fk_hint_broadcasts_dimension(graph):
     assert "BroadcastHashJoin" in p
 
 
-def test_fused_dump_scans_each_table_once(graph):
+def test_fused_dump_scans_each_fact_table_once(graph):
+    """Join fusion: a base (fact) table is scanned ONCE for all its
+    bridges — including its N:1 join bridges, whose dims attach as LEFT
+    broadcast joins.  Dim tables may additionally appear once per
+    referencing base group (they are broadcast; scan cost is trivial)."""
     p = plan(graph.compiler.fused_df(graph.bridges))
-    # every base table appears exactly once as a parquet scan location
-    for table in ["customer", "orders", "part", "supplier", "lineitem"]:
+    for table in ["lineitem", "supplier"]:  # pure fact/base roles
         hits = len(re.findall(rf"{table}\.parquet", p))
         assert hits == 1, f"{table} scanned {hits}× in fused dump"
+    # customer: own base group + dim of the orders group — never more
+    assert len(re.findall(r"customer\.parquet", p)) <= 2
+    assert len(re.findall(r"orders\.parquet", p)) <= 2
+    # join fusion keeps the dim joins broadcast
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
 
 
 def test_unfused_dump_scans_more(graph):
@@ -68,4 +76,6 @@ def test_unfused_dump_scans_more(graph):
 def test_whole_stage_codegen_covers_mint(graph):
     cb = next(b for b in graph.bridges if b.name == "customer.name")
     p = plan(graph.compiler.bridge_df(cb))
-    assert "WholeStageCodegen" in p  # minting stays JVM-side, codegen'd
+    # '*'-prefixed operators = inside a WholeStageCodegen span; the mint
+    # projection must be codegen'd (JVM-side, no Python)
+    assert re.search(r"\* Project", p) and "codegen id" in p

@@ -73,23 +73,35 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
   .config("spark.driver.extraJavaOptions", "-Xms24g -XX:+UseG1GC")
   .config("spark.sql.session.timeZone", "UTC")
   .config("spark.ui.enabled", "false")
+  .config("spark.local.dir", "/dev/shm/spark-bench-local")  # RAM-backed shuffle:
+  # isolates the measurement from disk writeback of the PREVIOUS level's
+  # ~24 GB of shuffle files (measured ±2× cross-session swings without this)
   .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from ont_d2rq_spark.examples import tpch_mapping
 from ont_d2rq_spark.graph import VirtualGraph
 
-def fresh():
+def fresh(distinct):
     g = VirtualGraph(tpch_mapping("{SCALE_DIR}"), spark)
-    return g.triples(fuse=True, distinct=True)
+    return g.triples(fuse=True, distinct=distinct)
 
-n = fresh().count()  # warm-up, un-timed
-walls = []
-for _ in range(3):
-    t0 = time.perf_counter(); fresh().count(); walls.append(time.perf_counter() - t0)
-med = statistics.median(walls)
-print("MEASURE " + json.dumps({{"cpus": cpus, "sp": sp, "triples": n,
-  "walls": [round(w, 1) for w in walls], "median_wall": round(med, 1),
-  "triples_per_sec": round(n / med)}}))
+def run_once(distinct):
+    # noop sink: forces full materialization of every row (the dump),
+    # excludes sink disk IO from the measurement
+    t0 = time.perf_counter()
+    fresh(distinct).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+n = fresh("auto").count()  # row count via cheap agg
+run_once("auto")           # warm-up, un-timed
+res = {{"cpus": cpus, "sp": sp, "triples": n}}
+for label, d in [("auto", "auto"), ("distinct", True)]:
+    walls = [run_once(d) for _ in range(3)]
+    med = statistics.median(walls)
+    res[label] = {{"walls": [round(w, 1) for w in walls],
+                   "median_wall": round(med, 1),
+                   "triples_per_sec": round(n / med)}}
+print("MEASURE " + json.dumps(res))
 '''
 
 
@@ -107,52 +119,68 @@ def main():
         assert "PREP_DONE" in run(_PREP, str(k))
     results = {}
     for cpus in (n, 4 * n):
+        subprocess.run(["sync"])  # drain writeback before each level
+        subprocess.run(["rm", "-rf", "/dev/shm/spark-bench-local"])
         out = run(_MEASURE, str(cpus), "64")
         line = [l for l in out.splitlines() if l.startswith("MEASURE ")][-1]
         results[cpus] = json.loads(line[len("MEASURE "):])
+        subprocess.run(["rm", "-rf", "/dev/shm/spark-bench-local"])
     r_n, r_4n = results[n], results[4 * n]
-    eff = round((r_4n["triples_per_sec"] / r_n["triples_per_sec"]) / 4, 3)
+    eff_auto = round((r_4n["auto"]["triples_per_sec"] / r_n["auto"]["triples_per_sec"]) / 4, 3)
+    eff_dist = round((r_4n["distinct"]["triples_per_sec"] / r_n["distinct"]["triples_per_sec"]) / 4, 3)
 
     md = [
         "# BENCH/BASELINE — measured throughput + scaling evidence",
         "",
         "## Protocol",
         "",
-        f"Job: full-mapping KG dump (fused one-scan-per-table bridge evaluation "
-        f"→ union → global distinct) — the reference's dump-rdf equivalent "
-        f"(BASELINE.md B3).  Input: driver sf0.1 tables inflated ×{k} by "
-        f"key-shifted replication ({r_n['triples']:,} output triples), same "
-        f"input at both levels.  local[{n}] vs local[{4*n}] stands in for N vs "
-        "4N executors per the driver instruction.  Per level: fresh JVM, one "
-        "un-timed warm-up, then median of 3 timed runs, each on a fresh plan "
-        "instance (repeat-count on one DataFrame would reuse shuffle files).  "
-        "AQE on; shuffle partitions 64.",
+        f"Job: full-mapping KG dump (fused one-scan-per-table bridge "
+        f"evaluation → union → sink) — the reference's dump-rdf equivalent "
+        f"(BASELINE.md B3), in two semantics: **reference semantics** "
+        f"(per-relation DISTINCT only where d2rq:containsDuplicates, as "
+        f"algebra/Relation.isUnique does — no global shuffle) and **strict "
+        f"set semantics** (global dropDuplicates on the triple id — one "
+        f"full shuffle).  Input: driver sf0.1 tables inflated ×{k} by "
+        f"key-shifted replication ({r_n['triples']:,} output triples), the "
+        f"SAME input at both levels.  local[{n}] vs local[{4*n}] stands in "
+        "for N vs 4N executors per the driver instruction.  Per level: "
+        "fresh JVM, un-timed warm-up, then median of 3 timed runs, each a "
+        "fresh plan instance materialized through a noop sink (repeat-"
+        "count on one DataFrame would silently reuse shuffle files; count "
+        "alone would skip row materialization).  AQE on; shuffle "
+        "partitions 64; RAM-backed spark.local.dir (isolates the run from "
+        "the previous level's shuffle-file writeback).",
         "",
         "## Results (BASELINE.md B3/B4)",
         "",
         f"| metric | local[{n}] | local[{4*n}] |",
         "|---|---|---|",
-        f"| dump wall, median of 3 (sec) | {r_n['median_wall']} | {r_4n['median_wall']} |",
-        f"| dump wall, all runs (sec) | {r_n['walls']} | {r_4n['walls']} |",
-        f"| throughput (triples/sec) | {r_n['triples_per_sec']:,} | {r_4n['triples_per_sec']:,} |",
+        f"| dump (reference semantics) wall, median of 3 (sec) | {r_n['auto']['median_wall']} | {r_4n['auto']['median_wall']} |",
+        f"| dump (reference semantics) all runs (sec) | {r_n['auto']['walls']} | {r_4n['auto']['walls']} |",
+        f"| dump (reference semantics) triples/sec | {r_n['auto']['triples_per_sec']:,} | {r_4n['auto']['triples_per_sec']:,} |",
+        f"| dump (global distinct) wall, median of 3 (sec) | {r_n['distinct']['median_wall']} | {r_4n['distinct']['median_wall']} |",
+        f"| dump (global distinct) all runs (sec) | {r_n['distinct']['walls']} | {r_4n['distinct']['walls']} |",
+        f"| dump (global distinct) triples/sec | {r_n['distinct']['triples_per_sec']:,} | {r_4n['distinct']['triples_per_sec']:,} |",
         "",
-        f"**Scaling efficiency = (thr@{4*n} / thr@{n}) / 4 = {eff}**",
+        f"**Scaling efficiency (reference semantics) = {eff_auto}**",
+        "",
+        f"**Scaling efficiency (global distinct) = {eff_dist}**",
         "",
         "## Caveats (single-box proxy)",
         "",
-        "- All levels share one machine: one NVMe for shuffle spill, one "
-        "memory bus, shared LLC.  Measured 32-way CPU capacity of this box "
-        "is ~21 effective cores (turbo/cache sharing: 32 parallel fixed-work "
-        "processes run 1.5× slower per task than 1) — a hard ceiling of "
-        "~0.66 on any 8→32 efficiency measured here that real 4× executor "
-        "hardware does not have.",
-        "- Run-to-run variance on this VM is ±30% (noisy neighbor); medians "
-        "of 3 are reported, raw walls shown.",
+        "- All levels share one machine: one memory bus, shared LLC. "
+        "Measured 32-way CPU capacity of this box is ~21 effective cores "
+        "(32 parallel fixed-work processes run 1.5× slower per task than "
+        "1) — a hard ceiling of ~0.66 on any 8→32 efficiency measured "
+        "here that real 4× executor hardware does not have; 2→8 scales "
+        "in the linear region of the box.",
+        "- Run-to-run variance on this VM is ±30% (noisy neighbor); "
+        "medians of 3 are reported, raw walls shown.",
         "- At raw sf0.1 (2.5 M triples) the dump takes ~3 s on 32 cores — "
         "per-stage fixed costs dominate and wall-clock *increases* with "
         "cores; that regime measures scheduler overhead, not the engine. "
-        "The inflated input is the same job at a size where the plan's "
-        "scan→mint→shuffle pipeline is the cost.",
+        "The inflated input is the same job at a size where the "
+        "scan→mint→sink pipeline is the cost.",
         "",
         "## Scale design notes (what holds at 1000 executors / 100 TB)",
         "",
@@ -162,11 +190,12 @@ def main():
         "row path (pandas UDFs only in mention detection, Arrow-batched).",
         "- FK-hinted dimension joins broadcast; fact side never shuffles "
         "for refersToClassMap bridges.",
-        "- The only global shuffle is the final distinct on the triple id; "
-        "it partitions by hash(subj,pred,obj,…), is combiner-backed "
-        "(partial aggregation map-side), and AQE re-splits skewed "
-        "partitions. Salted (pred, salt) repartitioning handles hub "
-        "entities at write time (pipeline/docs.py materialize_triples).",
+        "- Reference-semantics dump has NO global shuffle — it scales with "
+        "scan bandwidth. The strict-set variant's only shuffle is the "
+        "distinct on the triple id (combiner-backed, AQE-resplit); its "
+        "efficiency is bounded by interconnect, not the engine.",
+        "- Salted (pred, salt) repartitioning handles hub entities at "
+        "write time (pipeline/docs.py materialize_triples).",
         "",
         "Raw JSON:",
         "```json",
@@ -177,7 +206,7 @@ def main():
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
     out.write_text("\n".join(md) + "\n")
-    print(f"efficiency={eff}  → {out}")
+    print(f"eff_auto={eff_auto} eff_distinct={eff_dist}  → {out}")
 
 
 if __name__ == "__main__":

@@ -48,7 +48,7 @@ def rowset(df_pandas):
     out = []
     for _, row in df_pandas[cols].iterrows():
         out.append(tuple(norm(v) for v in row))
-    return sorted(out), cols
+    return sorted(out, key=repr), cols  # repr-key: rows may hold None/bool/str mixes
 
 
 def main():
