@@ -165,6 +165,18 @@ class VirtualGraph:
                         post.extend(f)
             except _Prune:
                 continue
+            # d2rq:limitInverse (SURVEY §2.6 O2): when the pattern is
+            # queried in the inverse direction (object bound, subject
+            # free) the inverse limit replaces d2rq:limit
+            if (
+                cb.bridge is not None
+                and cb.bridge.limit_inverse is not None
+                and o is not None
+                and s is None
+            ):
+                import dataclasses
+
+                cb = dataclasses.replace(cb, limit=cb.bridge.limit_inverse)
             frames.append(self.compiler.bridge_df(cb, constraints, post))
         if not frames:
             return self.spark.createDataFrame([], TRIPLE_SCHEMA)

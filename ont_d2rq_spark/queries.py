@@ -691,6 +691,100 @@ SELECT c_custkey FROM customer WHERE c_nationkey = 0
 """
 
 
+def q_events_windowed(spark, sf_dir):
+    """Event-time tumbling-window aggregation over the events stream
+    table — the batch shape of the Structured Streaming path (§2.9);
+    the same window+agg runs under readStream with a watermark."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_agg_count_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) — partial+final distinct aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
+    )
+
+
+SQL_AGG_COUNT_DISTINCT = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_corpus_prep(spark, sf_dir):
+    """Composite training-data prep: language filter → quality threshold
+    → exact-dedup to representatives → token stats.  The end-to-end
+    corpus pipeline a 100 TB pretraining job runs, in miniature."""
+    from ont_d2rq_spark.operators.dedup import exact_dedup
+    from ont_d2rq_spark.operators.text import language_id, quality_score, token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    lang = language_id(d).filter(F.col("lang_guess") == "en").select("doc_id")
+    qual = quality_score(d).filter(F.col("quality") >= 0.5).select("doc_id")
+    reps = exact_dedup(d).select(F.col("representative").alias("doc_id"))
+    kept = lang.join(qual, "doc_id").join(reps, "doc_id")
+    return token_stats(d).join(kept, "doc_id").select("doc_id", "n_tokens", "n_chars")
+
+
+_STOP_IN2 = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is"])
+
+SQL_CORPUS_PREP = f"""
+WITH lang AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(string_split(lower(text),' '), x -> x IN ({_STOP_IN2}))) AS DOUBLE)
+             / len(string_split(lower(text),' ')), 6) AS r
+    FROM documents
+  ) WHERE r >= 0.05
+),
+qual AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+           CAST(len(list_filter(string_split(text,' '), x -> x IN ({_STOP_IN2}))) AS DOUBLE) AS stop_hits,
+           CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS dr,
+           (length(text) - (CAST(len(string_split(text,' ')) AS DOUBLE) - 1)) / len(string_split(text,' ')) AS mwl
+    FROM documents
+  ) WHERE n >= 5 AND ROUND(0.4 * least(dr * 2, 1.0) + 0.3 * least(stop_hits / n * 10, 1.0)
+        + 0.3 * (CASE WHEN mwl >= 3 AND mwl <= 8 THEN 1.0 ELSE 0.3 END), 6) >= 0.5
+),
+reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+       CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d
+JOIN lang USING (doc_id) JOIN qual USING (doc_id) JOIN reps USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # North-star interleaved-document pipeline (SURVEY §7.4) — the synthesis
 # is deterministic column arithmetic, so DuckDB can REPLAY it exactly.
@@ -941,6 +1035,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "similarity_topk": q_similarity_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "events_windowed": q_events_windowed,
+    "agg_count_distinct": q_agg_count_distinct,
+    "corpus_prep": q_corpus_prep,
     "pattern_literal": q_pattern_literal,
     "encoders": q_encoders,
     "agg_rollup": q_agg_rollup,
@@ -985,6 +1082,9 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "events_windowed": SQL_EVENTS_WINDOWED,
+        "agg_count_distinct": SQL_AGG_COUNT_DISTINCT,
+        "corpus_prep": SQL_CORPUS_PREP,
         "pattern_literal": SQL_PATTERN_LITERAL,
         "encoders": SQL_ENCODERS,
         "agg_rollup": SQL_AGG_ROLLUP,

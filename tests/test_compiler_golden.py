@@ -220,6 +220,43 @@ def test_nt_rendering(graph):
     }
 
 
+def test_golden_ntriples_fixture_exact(graph):
+    """FindTest-style golden fixture: the full dump must equal the
+    checked-in N-Triples file EXACTLY (P/R = 1.0 — BASELINE.md B1).
+    The file was verified by hand: the d2rq:condition excludes paper3,
+    the NULL title emits no triple, the TranslationTable rewrites
+    person types, and the multi-hop join respects the target condition."""
+    import pathlib
+
+    expected = set(
+        pathlib.Path(__file__).parent.joinpath("fixtures/iswc/expected.nt")
+        .read_text()
+        .strip()
+        .splitlines()
+    )
+    actual = {
+        r[0] for r in graph.nt_lines(graph.triples(fuse=True, distinct=True)).collect()
+    }
+    assert actual == expected
+
+
+def test_limit_inverse(spark, iswc_tables):
+    """d2rq:limitInverse: applies when the object is bound (inverse
+    direction), while d2rq:limit governs the forward direction."""
+    import dataclasses
+
+    m = iswc_mapping()
+    for pb in m.bridges:
+        if pb.name == "person.authored":
+            pb.limit = 10
+            pb.limit_inverse = 1
+    g = VirtualGraph(m, spark, extra_tables=iswc_tables)
+    fwd = g.find(p=EX + "authorOf")
+    assert fwd.count() == 2  # forward limit 10 → all rows
+    inv = g.find(p=EX + "authorOf", o=EX + "paper1")
+    assert inv.count() == 1  # inverse limit 1
+
+
 def test_bgp_filter_and_optional(graph):
     """SPARQL FILTER + OPTIONAL analogues over the BGP result."""
     rows = graph.bgp(
