@@ -280,12 +280,13 @@ class VirtualGraph:
         return df
 
     def cache(self) -> "VirtualGraph":
-        """CachingGraph analogue: persist the fused triples DAG."""
+        """Persist the fused triples DAG (whole-graph caching)."""
         from pyspark import StorageLevel
 
         t = self.triples().persist(StorageLevel.MEMORY_AND_DISK)
         self._cached.append(t)
         return self
+
 
     # ------------------------------------------------------------------
     # N-Triples serialization (dump-rdf sink, SURVEY §2.1 S6)
@@ -322,3 +323,44 @@ class VirtualGraph:
 
     def dump_nt(self, path: str, triples: Optional[DataFrame] = None) -> None:
         self.nt_lines(triples).write.mode("overwrite").text(path)
+
+
+class CachingGraph:
+    """Memoizing find() wrapper — the analogue of ont-d2rq's
+    jena/CachingGraph.java: repeated find(s,p,o) patterns return the
+    persisted result instead of re-planning and re-scanning.  FIFO
+    eviction at ``max_entries`` (the reference uses a size budget);
+    evicted entries are unpersisted."""
+
+    def __init__(self, graph: VirtualGraph, max_entries: int = 128):
+        self.graph = graph
+        self.max_entries = max_entries
+        self._cache: dict[tuple, DataFrame] = {}
+        self._order: list[tuple] = []
+        self.hits = 0
+        self.misses = 0
+
+    def find(self, s=None, p=None, o=None) -> DataFrame:
+        from pyspark import StorageLevel
+
+        key = (s, p, o)
+        if key in self._cache:
+            self.hits += 1
+            return self._cache[key]
+        self.misses += 1
+        df = self.graph.find(s, p, o).persist(StorageLevel.MEMORY_AND_DISK)
+        self._cache[key] = df
+        self._order.append(key)
+        if len(self._order) > self.max_entries:
+            old = self._order.pop(0)
+            self._cache.pop(old).unpersist()
+        return df
+
+    def clear(self) -> None:
+        for df in self._cache.values():
+            df.unpersist()
+        self._cache.clear()
+        self._order.clear()
+
+    def __getattr__(self, name):
+        return getattr(self.graph, name)

@@ -691,6 +691,42 @@ SELECT c_custkey FROM customer WHERE c_nationkey = 0
 """
 
 
+def q_sparql_select(spark, sf_dir):
+    """End-to-end SPARQL (E2): parse → BGP compile → join pushdown →
+    residual modifiers as DataFrame ops."""
+    from ont_d2rq_spark.sparql import execute
+
+    g = _graph(spark, sf_dir)
+    return execute(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT DISTINCT ?c ?name ?rname WHERE {
+            ?c ex:inNation ?n .
+            ?n ex:inRegion ?r .
+            ?r ex:name ?rname .
+            ?c ex:name ?name .
+            FILTER (rname in ('ASIA', 'EUROPE'))
+        }
+        """,
+    )
+
+
+SQL_SPARQL_SELECT = """
+SELECT DISTINCT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+       c_name AS name, r_name AS rname
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+UNION
+SELECT DISTINCT 'http://example.org/supplier/' || CAST(s_suppkey AS VARCHAR),
+       s_name, r_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+"""
+
+
 def q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window aggregation over the events stream
     table — the batch shape of the Structured Streaming path (§2.9);
@@ -1035,6 +1071,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "similarity_topk": q_similarity_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "sparql_select": q_sparql_select,
     "events_windowed": q_events_windowed,
     "agg_count_distinct": q_agg_count_distinct,
     "corpus_prep": q_corpus_prep,
@@ -1082,6 +1119,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "sparql_select": SQL_SPARQL_SELECT,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "agg_count_distinct": SQL_AGG_COUNT_DISTINCT,
         "corpus_prep": SQL_CORPUS_PREP,

@@ -210,6 +210,21 @@ def test_full_dump_fused_equals_unfused(graph):
     assert len(fused) > 0
 
 
+def test_caching_graph(graph):
+    """CachingGraph memoizes find() (ont-d2rq jena/CachingGraph)."""
+    from ont_d2rq_spark.graph import CachingGraph
+
+    cg = CachingGraph(graph, max_entries=2)
+    a = triple_set(cg.find(p=EX + "title"))
+    b = triple_set(cg.find(p=EX + "title"))
+    assert a == b and cg.hits == 1 and cg.misses == 1
+    cg.find(p=EX + "conference")
+    cg.find(p=EX + "academicType")  # evicts the first entry
+    assert len(cg._cache) == 2
+    assert triple_set(cg.find(p=EX + "title")) == a  # recomputed, still right
+    cg.clear()
+
+
 def test_nt_rendering(graph):
     lines = {
         r[0]
