@@ -53,7 +53,8 @@ def inflate(name, keycols, parts):
 inflate("lineitem", ["l_orderkey"], 64)
 inflate("orders", ["o_orderkey"], 32)
 inflate("customer", ["c_custkey"], 16)
-for t in ["region", "nation", "supplier", "part", "events", "documents", "embeddings"]:
+inflate("documents", ["doc_id"], 32)
+for t in ["region", "nation", "supplier", "part", "events", "embeddings"]:
     spark.read.parquet(f"{SRC}/{{t}}.parquet").write.mode("overwrite").parquet(
         f"{SCALE_DIR}/{{t}}.parquet")
 print("PREP_DONE")
@@ -101,6 +102,22 @@ for label, d in [("auto", "auto"), ("distinct", True)]:
     res[label] = {{"walls": [round(w, 1) for w in walls],
                    "median_wall": round(med, 1),
                    "triples_per_sec": round(n / med)}}
+
+# north-star doc pipeline (synth -> UDF mentions -> link -> CC -> rewrite)
+from ont_d2rq_spark.session import ship_package
+from ont_d2rq_spark.pipeline.docs import build_kg
+ship_package(spark)
+def run_pipe():
+    t0 = time.perf_counter()
+    build_kg(spark, "{SCALE_DIR}", root=None).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+n_kg = build_kg(spark, "{SCALE_DIR}", root=None).count()  # warm-up + count
+pipe_walls = [run_pipe() for _ in range(3)]
+pmed = statistics.median(pipe_walls)
+res["pipeline"] = {{"walls": [round(w, 1) for w in pipe_walls],
+                    "median_wall": round(pmed, 1),
+                    "kg_triples": n_kg,
+                    "triples_per_sec": round(n_kg / pmed)}}
 print("MEASURE " + json.dumps(res))
 '''
 
@@ -128,6 +145,7 @@ def main():
     r_n, r_4n = results[n], results[4 * n]
     eff_auto = round((r_4n["auto"]["triples_per_sec"] / r_n["auto"]["triples_per_sec"]) / 4, 3)
     eff_dist = round((r_4n["distinct"]["triples_per_sec"] / r_n["distinct"]["triples_per_sec"]) / 4, 3)
+    eff_pipe = round((r_4n["pipeline"]["triples_per_sec"] / r_n["pipeline"]["triples_per_sec"]) / 4, 3)
 
     md = [
         "# BENCH/BASELINE — measured throughput + scaling evidence",
@@ -161,10 +179,16 @@ def main():
         f"| dump (global distinct) wall, median of 3 (sec) | {r_n['distinct']['median_wall']} | {r_4n['distinct']['median_wall']} |",
         f"| dump (global distinct) all runs (sec) | {r_n['distinct']['walls']} | {r_4n['distinct']['walls']} |",
         f"| dump (global distinct) triples/sec | {r_n['distinct']['triples_per_sec']:,} | {r_4n['distinct']['triples_per_sec']:,} |",
+        f"| doc-pipeline wall, median of 3 (sec) | {r_n['pipeline']['median_wall']} | {r_4n['pipeline']['median_wall']} |",
+        f"| doc-pipeline all runs (sec) | {r_n['pipeline']['walls']} | {r_4n['pipeline']['walls']} |",
+        f"| doc-pipeline KG triples/sec | {r_n['pipeline']['triples_per_sec']:,} | {r_4n['pipeline']['triples_per_sec']:,} |",
         "",
         f"**Scaling efficiency (reference semantics) = {eff_auto}**",
         "",
         f"**Scaling efficiency (global distinct) = {eff_dist}**",
+        "",
+        f"**Scaling efficiency (doc pipeline: synth → pandas-UDF mentions → "
+        f"broadcast link → connected components → canonical rewrite) = {eff_pipe}**",
         "",
         "## Caveats (single-box proxy)",
         "",
@@ -206,7 +230,7 @@ def main():
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
     out.write_text("\n".join(md) + "\n")
-    print(f"eff_auto={eff_auto} eff_distinct={eff_dist}  → {out}")
+    print(f"eff_auto={eff_auto} eff_distinct={eff_dist} eff_pipeline={eff_pipe}  → {out}")
 
 
 if __name__ == "__main__":
