@@ -178,6 +178,20 @@ class VirtualGraph:
 
                 cb = dataclasses.replace(cb, limit=cb.bridge.limit_inverse)
             frames.append(self.compiler.bridge_df(cb, constraints, post))
+        # d2rq:serveVocabulary: the schema graph answers find() too
+        # (ont-d2rq unions the OWL vocabulary with the data graph)
+        if self.mapping.configuration.serve_vocabulary:
+            from ont_d2rq_spark.schema_graph import schema_rows
+
+            rows = [
+                r
+                for r in schema_rows(self.mapping)
+                if (s is None or r[0] == s)
+                and (p is None or r[1] == p)
+                and (o is None or r[2] == o)
+            ]
+            if rows:
+                frames.append(self.spark.createDataFrame(rows, TRIPLE_SCHEMA))
         if not frames:
             return self.spark.createDataFrame([], TRIPLE_SCHEMA)
         return reduce(lambda a, b: a.unionByName(b), frames)

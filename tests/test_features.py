@@ -266,6 +266,26 @@ def test_schema_graph():
     assert any(r[2] == "http://www.w3.org/2002/07/owl#DatatypeProperty" for r in rws)
 
 
+def test_find_serves_vocabulary(spark, emp):
+    """serveVocabulary: find() answers from the schema graph too."""
+    from ont_d2rq_spark.mapping.model import Configuration
+
+    m = base_mapping()
+    m.configuration = Configuration(serve_vocabulary=True)
+    m.add_class_map(
+        ClassMap(name="emp", table="emp", uri_pattern=EX + "e@@emp.id@@",
+                 classes=[EX + "Emp"])
+    )
+    g = mk(spark, emp, m)
+    owl_class = "http://www.w3.org/2002/07/owl#Class"
+    got = rows(g.find(o=owl_class))
+    assert (EX + "Emp", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            owl_class, None, None, False) in got
+    # data + vocabulary both answer the type-pattern find
+    types = g.find(p="http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    assert types.count() == 3 + 1  # 3 emp rows + 1 owl:Class triple
+
+
 def test_mapgen_directmapping(spark):
     from ont_d2rq_spark.mapgen import generate_mapping
 
