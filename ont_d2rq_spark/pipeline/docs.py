@@ -325,7 +325,13 @@ def build_kg(
 
     def stage(name, compute, **kw):
         if root is None:
-            return compute()
+            # uncheckpointed mode: persist instead — each stage output is
+            # consumed by 2+ downstream stages (integrity + mentions;
+            # sameAs edges + rewrite source) and would otherwise re-run
+            # the synthesis/UDF chain per consumer
+            from pyspark import StorageLevel
+
+            return compute().persist(StorageLevel.MEMORY_AND_DISK)
         return run_stage(spark, root, name, compute, force=force, **kw)
 
     docs = stage("docs_interleaved", lambda: synthesize_interleaved(spark, sf_dir))
