@@ -72,6 +72,18 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def clean_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalization/redaction pass a pretraining corpus runs before
+    tokenization: collapse whitespace, strip non-printables, mask number
+    runs and email-shaped tokens.  Pure Catalyst regexp chain."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, r"[\x00-\x1f]", " ")
+    t = F.regexp_replace(t, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    t = F.regexp_replace(t, r"\d[\d,.]*", "<NUM>")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(F.col(id_col), t.alias("clean_text"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text
     (cross-engine reproducible, unlike xxhash64 which DuckDB lacks)."""

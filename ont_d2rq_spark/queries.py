@@ -691,6 +691,32 @@ SELECT c_custkey FROM customer WHERE c_nationkey = 0
 """
 
 
+def q_doc_clean(spark, sf_dir):
+    """Text cleaning / redaction pass (whitespace, control chars, number
+    and email masking) — applied to text ⊕ doc_id so the masks fire."""
+    from ont_d2rq_spark.operators.text import clean_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("  id 7,500.25 x@y.com  "), F.col("doc_id")).alias("text"),
+    )
+    return clean_text(d)
+
+
+SQL_DOC_CLEAN = r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text || '  id 7,500.25 x@y.com  ' || CAST(doc_id AS VARCHAR),
+                       '[\x00-\x1f]', ' ', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\d[\d,.]*', '<NUM>', 'g'),
+    '\s+', ' ', 'g')) AS clean_text
+FROM documents
+"""
+
+
 def q_sparql_select(spark, sf_dir):
     """End-to-end SPARQL (E2): parse → BGP compile → join pushdown →
     residual modifiers as DataFrame ops."""
@@ -1071,6 +1097,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "similarity_topk": q_similarity_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "doc_clean": q_doc_clean,
     "sparql_select": q_sparql_select,
     "events_windowed": q_events_windowed,
     "agg_count_distinct": q_agg_count_distinct,
@@ -1119,6 +1146,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "doc_clean": SQL_DOC_CLEAN,
         "sparql_select": SQL_SPARQL_SELECT,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "agg_count_distinct": SQL_AGG_COUNT_DISTINCT,

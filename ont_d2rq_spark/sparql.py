@@ -59,6 +59,7 @@ class Query:
     patterns: list[tuple] = field(default_factory=list)
     filters: list[str] = field(default_factory=list)
     optional: list[list[tuple]] = field(default_factory=list)
+    union: list[list[tuple]] = field(default_factory=list)  # alternative groups
     order_by: list[tuple] = field(default_factory=list)  # (var, desc)
     limit: Optional[int] = None
     offset: Optional[int] = None
@@ -205,7 +206,19 @@ class _P:
                 self._group(sub, q)
                 q.optional.append(sub)
                 continue
-            if g.upper() in ("UNION", "GRAPH", "MINUS", "SERVICE", "BIND", "VALUES"):
+            if g == "{":
+                # group — only the { A } UNION { B } [UNION { C }] form
+                self.next()
+                first: list = []
+                self._group(first, q)
+                q.union.append(first)
+                while self.kw("UNION"):
+                    self.expect("{")
+                    alt: list = []
+                    self._group(alt, q)
+                    q.union.append(alt)
+                continue
+            if g.upper() in ("GRAPH", "MINUS", "SERVICE", "BIND", "VALUES"):
                 raise SparqlError(f"{g.upper()} not supported in this subset")
             s, p, o = self.term(), self.term(), self.term()
             patterns.append((s, p, o))
@@ -254,7 +267,27 @@ def execute(graph, query: str) -> DataFrame:
     """Run a SPARQL query against a VirtualGraph → DataFrame of bindings
     (ASK → single boolean column 'ask')."""
     q = parse(query)
-    df = graph.bgp(q.patterns, filters=q.filters, optional=q.optional)
+    if not q.union:
+        df = graph.bgp(q.patterns, filters=q.filters, optional=q.optional)
+    else:
+        # { A } UNION { B }: each alternative binds its own variables;
+        # columns missing from one side become NULL (unbound)
+        from functools import reduce as _reduce
+
+        parts = [graph.bgp(g) for g in q.union]
+        df = _reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        if q.patterns:
+            main = graph.bgp(q.patterns)
+            shared = [c for c in main.columns if c in df.columns]
+            df = main.join(df, on=shared, how="inner") if shared else main.crossJoin(df)
+        for group in q.optional:
+            sub = graph.bgp(group)
+            shared = [c for c in df.columns if c in sub.columns]
+            df = df.join(sub, on=shared, how="left") if shared else df.crossJoin(sub)
+        for f in q.filters:
+            df = df.filter(F.expr(f))
     if q.form == "ASK":
         return graph.spark.createDataFrame([(not df.isEmpty(),)], "ask boolean")
     if q.variables:

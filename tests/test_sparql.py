@@ -88,9 +88,28 @@ def test_ask(graph):
     ).first()["ask"]
 
 
+def test_union(graph):
+    df = execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?who ?n WHERE {
+            { ?who a ex:Customer . ?who ex:inNation ?n . }
+            UNION
+            { ?who a ex:Supplier . ?who ex:inNation ?n . }
+        }
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 150 + 10  # customers + suppliers at sf0.001
+    subjects = {r["who"] for r in rows}
+    assert any("/customer/" in s for s in subjects)
+    assert any("/supplier/" in s for s in subjects)
+
+
 def test_unsupported_raises():
     with pytest.raises(SparqlError):
-        parse("SELECT ?x WHERE { { ?x ?p ?o } UNION { ?x ?q ?o } }")
+        parse("SELECT ?x WHERE { BIND(1 AS ?y) }")
     with pytest.raises(SparqlError):
         parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
 
