@@ -691,6 +691,28 @@ SELECT c_custkey FROM customer WHERE c_nationkey = 0
 """
 
 
+_BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def q_doc_tokens_bpe(spark, sf_dir):
+    """BPE-ish tokenizer count (GPT-2-style pre-tokenization shape:
+    letter runs / digit runs / punctuation runs with leading-space
+    attachment), JVM-side regexp — the token-budget estimator a
+    pretraining pipeline runs over every document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+SQL_DOC_TOKENS_BPE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_doc_clean(spark, sf_dir):
     """Text cleaning / redaction pass (whitespace, control chars, number
     and email masking) — applied to text ⊕ doc_id so the masks fire."""
@@ -1097,6 +1119,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "similarity_topk": q_similarity_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "doc_tokens_bpe": q_doc_tokens_bpe,
     "doc_clean": q_doc_clean,
     "sparql_select": q_sparql_select,
     "events_windowed": q_events_windowed,
@@ -1146,6 +1169,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "doc_tokens_bpe": SQL_DOC_TOKENS_BPE,
         "doc_clean": SQL_DOC_CLEAN,
         "sparql_select": SQL_SPARQL_SELECT,
         "events_windowed": SQL_EVENTS_WINDOWED,
