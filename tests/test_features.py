@@ -328,6 +328,60 @@ def test_column_type_override(spark):
     assert len(r["obj"]) == 10  # yyyy-MM-dd
 
 
+def test_startup_sql_script(spark, emp):
+    """d2rq:startupSQLScript runs once at compiler construction (S5)."""
+    m = base_mapping()
+    m.database = Database(
+        base_dir="/root/testdata/sf0.001",
+        startup_sql=["CREATE OR REPLACE TEMPORARY VIEW startup_probe AS SELECT 42 AS v"],
+    )
+    m.add_class_map(ClassMap(name="emp", table="emp", uri_pattern=EX + "e@@emp.id@@"))
+    mk(spark, emp, m)
+    assert spark.table("startup_probe").first()["v"] == 42
+
+
+def test_contains_duplicates_distinct(spark):
+    """d2rq:containsDuplicates → per-relation DISTINCT (U2)."""
+    dup = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, name string")
+    m = base_mapping()
+    m.add_class_map(
+        ClassMap(
+            name="d", table="dup", uri_pattern=EX + "d@@dup.id@@", contains_duplicates=True
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="d.name", belongs_to_class_map="d", properties=[EX + "n"], column="dup.name"
+        )
+    )
+    g = mk(spark, {"dup": dup}, m)
+    assert g.find(p=EX + "n").count() == 2  # deduped
+    m2 = base_mapping()
+    m2.add_class_map(
+        ClassMap(name="d", table="dup", uri_pattern=EX + "d@@dup.id@@")
+    )
+    m2.add_bridge(
+        PropertyBridge(
+            name="d.name", belongs_to_class_map="d", properties=[EX + "n"], column="dup.name"
+        )
+    )
+    assert mk(spark, {"dup": dup}, m2).find(p=EX + "n").count() == 3  # kept
+
+
+def test_result_size_limit(spark, emp):
+    """d2rq:resultSizeLimit caps every relation's result (O3)."""
+    m = base_mapping()
+    m.database = Database(base_dir="/root/testdata/sf0.001", result_size_limit=2)
+    m.add_class_map(ClassMap(name="emp", table="emp", uri_pattern=EX + "e@@emp.id@@"))
+    m.add_bridge(
+        PropertyBridge(
+            name="emp.name", belongs_to_class_map="emp", properties=[EX + "n"], column="emp.name"
+        )
+    )
+    g = mk(spark, emp, m)
+    assert g.find(p=EX + "n").count() == 2
+
+
 def test_download_map(spark, emp):
     """DownloadMap (S7): fetch one row's content column by minted URI."""
     from ont_d2rq_spark.sources.download import download_content
