@@ -1084,10 +1084,35 @@ def q_media_decode(spark, sf_dir):
 
 def q_pipeline_kg(spark, sf_dir):
     """Full north-star pipeline: synth → integrity → mentions → link →
-    sameAs connected components → canonical rewrite."""
+    sameAs connected components → canonical rewrite.  The oracle replays
+    the whole chain in SQL: on this graph the CC fixpoint has a closed
+    form (every alias component contains exactly one real entity URI, so
+    the canonical id is computable per mention) — the iterative
+    large-star/small-star result must match it exactly."""
     from ont_d2rq_spark.pipeline.docs import build_kg
 
     return build_kg(spark, sf_dir, root=None)
+
+
+SQL_PIPELINE_KG = f"""
+WITH {_SPANS_CTE},
+tok AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS w
+  FROM spans WHERE kind = 'text' AND text IS NOT NULL
+)
+SELECT DISTINCT
+  'http://example.org/doc/' || doc_id AS subj,
+  'http://example.org/mentions' AS pred,
+  CASE WHEN regexp_full_match(w, 'Customer#[0-9]{{9}}')
+       THEN 'http://example.org/customer/' || CAST(CAST(right(w, 9) AS BIGINT) AS VARCHAR)
+       ELSE 'http://example.org/topic/' || w END AS obj,
+  CAST(NULL AS VARCHAR) AS obj_datatype,
+  CAST(NULL AS VARCHAR) AS obj_lang,
+  FALSE AS is_literal
+FROM tok
+WHERE regexp_full_match(w, 'Customer#[0-9]{{9}}')
+   OR w IN ({", ".join("'" + t + "'" for t in ["spark", "join", "window", "filter", "vector", "stream"])})
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1185,9 +1210,9 @@ def oracles() -> dict[str, str]:
         "doc_quality": SQL_DOC_QUALITY,
         "doc_language_id": SQL_DOC_LANGUAGE_ID,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
-        # minhash_dedup / simhash_near_dup / ann_lsh_topk / media_decode /
-        # pipeline_kg: intentionally no oracle — xxhash64/numpy-LSH/stubbed
-        # decode/iterative CC are not DuckDB-replayable; driver records
-        # rows-only checks (pipeline_kg's CC verified by the
-        # connected_components oracle + pytest goldens instead).
+        "pipeline_kg": SQL_PIPELINE_KG,
+        # minhash_dedup / simhash_near_dup / ann_lsh_topk / media_decode:
+        # intentionally no oracle — xxhash64 / numpy-LSH planes / stubbed
+        # decode are not DuckDB-replayable; driver records rows-only
+        # checks (their semantics are pytest-golden-tested instead).
     }
