@@ -29,6 +29,31 @@ def test_decode_media_plumbing(spark):
     assert again[r["media_ref"]] == (r["width"], r["height"])
 
 
+def test_streaming_doc_mentions(spark, tmp_path):
+    """The doc-pipeline mention stage runs unchanged on a STREAM of
+    interleaved documents (source-agnostic transforms: same pandas UDF,
+    same explode) — incremental KG extraction for doc appends."""
+    docs = P.synthesize_interleaved(spark, SF)
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    mentions_stream = P.detect_mentions(stream)
+    out = str(tmp_path / "mentions_out")
+    q = (
+        mentions_stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    expect = P.detect_mentions(docs)
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).isEmpty()
+
+
 def test_streaming_incremental_triples(spark, tmp_path):
     """File-source stream over the customer table → same triples as the
     batch compiler, via availableNow trigger."""
