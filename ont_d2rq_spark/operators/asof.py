@@ -1,0 +1,56 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+For each left row, attach the LATEST right row with
+``right.ts <= left.ts`` within the same key group (the temporal lookup
+every event-enrichment pipeline needs; the reference has no temporal
+operators, this is a task-brief extension).
+
+Physical shape (scale-correct, one shuffle, no per-row Python):
+  union both sides tagged → window per key ordered by (ts, side) →
+  last(right payload, ignoreNulls) carried forward → keep left rows.
+Equivalent to a merge-asof, executed as a single partitioned sort —
+no range cross-product, no pandas.  Skewed keys are handled by AQE;
+a per-key salt is unnecessary because the window is a linear scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """left rows + latest right_cols as of left.on, matched on `by`.
+
+    ``on``: timestamp/orderable column name present on both sides.
+    ``by``: equality key present on both sides.
+    Right rows at exactly the same ``on`` value sort BEFORE left rows
+    (side tag 0 < 1), so an equal-timestamp right row does match."""
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        F.col(by).alias(by),
+        F.col(on).alias(on),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in right_cols],
+    )
+    for c in right_cols:
+        if c in left.columns:
+            raise ValueError(f"right column {c!r} collides with left; rename first")
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = merged
+    for c in right_cols:
+        out = out.withColumn(c + suffix, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col("_side") == 1).drop("_side", *right_cols)

@@ -691,6 +691,35 @@ SELECT c_custkey FROM customer WHERE c_nationkey = 0
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (custom temporal operator, J5-adjacent): each event
+    picks up the user's most recent order key as of the event time.
+    Right side pre-deduped per (user, date) so ties are deterministic."""
+    from ont_d2rq_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts")
+        )
+        .agg(F.max("o_orderkey").cast("bigint").alias("last_orderkey"))
+    )
+    out = asof_join(e, o, on="ts", by="user_id", right_cols=["last_orderkey"])
+    return out.select("event_id", F.col("last_orderkey_asof").cast("bigint").alias("last_orderkey_asof"))
+
+
+SQL_ASOF_JOIN = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ts,
+         CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, CAST(r.last_orderkey AS BIGINT) AS last_orderkey_asof
+FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
 _BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
 
@@ -1144,6 +1173,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "similarity_topk": q_similarity_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "asof_join": q_asof_join,
     "doc_tokens_bpe": q_doc_tokens_bpe,
     "doc_clean": q_doc_clean,
     "sparql_select": q_sparql_select,
@@ -1194,6 +1224,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "asof_join": SQL_ASOF_JOIN,
         "doc_tokens_bpe": SQL_DOC_TOKENS_BPE,
         "doc_clean": SQL_DOC_CLEAN,
         "sparql_select": SQL_SPARQL_SELECT,
