@@ -49,15 +49,28 @@ def shingles(text_col, n: int = 3):
     )
 
 
+def _minhash_fn(j: int, col, hash_family: str):
+    """Per-seed shingle hash.  Two families, SAME algorithm:
+      * 'xxhash64' — fastest JVM path (bench default);
+      * 'md5'      — cross-engine replayable (DuckDB has md5; MIN over
+        lowercase-hex strings is a valid minhash total order), used by
+        the driver-oracle-checked query so correctness is proven on the
+        exact operator shape."""
+    if hash_family == "md5":
+        return F.md5(F.concat(F.lit(f"{j}:"), col))
+    return F.xxhash64(col, F.lit(j))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """→ (id, sig: array<bigint>) — sig[j] = min over shingles of
-    xxhash64(shingle, seed=j).
+    """→ (id, sig: array) — sig[j] = min over shingles of
+    hash_j(shingle) (bigint for xxhash64, hex string for md5).
 
     Shape: explode shingles → k hash columns → groupBy(id).agg(k mins).
     The k mins run with map-side partial aggregation, so the shuffle
@@ -72,18 +85,23 @@ def minhash_signatures(
         )
     )
     mins = [
-        F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)
+        F.min(_minhash_fn(j, F.col("s"), hash_family)).alias(f"h{j}")
+        for j in range(num_hashes)
     ]
     agg = ex.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair.
     → (id_a, id_b) distinct, id_a < id_b."""
     assert bands * rows_per_band <= 1024
+    bucket_fn = F.md5 if hash_family == "md5" else F.xxhash64
     banded = sigs.select(
         "id",
         F.explode(
@@ -91,7 +109,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        bucket_fn(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -128,13 +146,14 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact
     Jaccard verification over shingle sets → (id_a, id_b, jaccard).
     Verification joins the shingle arrays back only for candidates."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_family)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, hash_family)
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
     )
@@ -176,14 +195,49 @@ def simhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 
+def simhash_signatures_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """Cross-engine-replayable SimHash: the per-token 60-bit hash is
+    the first 15 hex chars of md5 (both Spark and DuckDB compute the
+    identical value — `conv(hex,16,10)` here, `'0x…'::BIGINT` there),
+    so the driver oracle replays the signature bit-for-bit.
+
+    Shape: explode distinct tokens (md5 computed ONCE per token) →
+    groupBy(id) with `bits` conditional ±1 sums (map-side partial agg)
+    → signature assembled from the sign of each bit sum.  One shuffle,
+    keyed on doc id — scale-equivalent to the xxhash64 path."""
+    assert bits <= 60
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("w")).select(
+        "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    sums = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.alias("simhash"))
+
+
 def hamming_distance(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by SimHash: block on 16-bit quarters (a pair
-    within hamming ≤ 3 of 64 bits shares at least one identical quarter
-    — pigeonhole), then verify the full distance."""
+def simhash_candidates(sigs: DataFrame, max_hamming: int = 3, bits: int = 64) -> DataFrame:
+    """Near-dup candidates by SimHash: block on bit quarters (a pair
+    within hamming ≤ 3 shares at least one identical quarter —
+    pigeonhole; larger max_hamming keeps the same blocking as a
+    recall-bounded candidate generator), then verify the full distance."""
+    width = bits // 4
+    mask = (1 << width) - 1
     parts = sigs.select(
         "id",
         "simhash",
@@ -192,8 +246,8 @@ def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftrightunsigned("simhash", q * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", q * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("part"),
                     )
                     for q in range(4)

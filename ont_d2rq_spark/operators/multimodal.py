@@ -30,6 +30,7 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("hist", T.ArrayType(T.LongType())),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -46,14 +47,21 @@ def _fake_decode(content: bytes) -> tuple[int, int]:
     return w, h
 
 
+def _fake_hist(content: bytes, dim: int = 8) -> list[int]:
+    """STUB: integer byte-histogram (bucket = byte % dim).  Exact
+    integers, so the driver's DuckDB oracle can replay it bit-for-bit."""
+    buckets = [0] * dim
+    for b in content:
+        buckets[b % dim] += 1
+    return buckets
+
+
 def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
     """STUB feature extractor (would be an ONNX/torch encoder).
     Deterministic: byte-histogram buckets, L1-normalized."""
     if not content:
         return [0.0] * dim
-    buckets = [0] * dim
-    for b in content:
-        buckets[b % dim] += 1
+    buckets = _fake_hist(content, dim)
     s = float(sum(buckets)) or 1.0
     return [b / s for b in buckets]
 
@@ -73,6 +81,7 @@ def decode_media_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "n_bytes": len(content),
                     "width": w,
                     "height": h,
+                    "hist": _fake_hist(bytes(content)),
                     "feature": _fake_feature(bytes(content)),
                 }
             )

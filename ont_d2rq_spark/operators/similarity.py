@@ -3,15 +3,22 @@
 Baseline: exact brute-force cosine top-k (one broadcast of the query
 side, JVM-only arithmetic via zip_with/aggregate).
 Scale path: random-hyperplane LSH bucketing (signed projections →
-bit signature → candidates share a signature prefix) — at 100 TB the
-cross product is infeasible; LSH bounds each probe to its bucket.
+bit signature → candidates share a bucket in any table) — at 100 TB
+the cross product is infeasible; LSH bounds each probe to its bucket.
 
-The hyperplanes are generated DETERMINISTICALLY from xxhash64 of
-(plane index, dimension index) — no RNG, same planes on every
-executor and every run, nothing shipped over the wire.
+The hyperplanes are RADEMACHER (±1 entries) derived deterministically
+from md5 of (salt, table, plane, dim) — no RNG, identical planes on
+every executor, every run, AND in the DuckDB oracle, which replays the
+exact bucketing.  Sign projections against a ±1 matrix are a standard
+SimHash-family LSH for cosine distance (Charikar 2002).  Embeddings
+are quantized to integers (round(x·10⁶)) before the projection so the
+bucket decision is exact integer arithmetic — bit-identical across
+engines regardless of float summation order.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,28 +64,73 @@ def brute_force_topk(
     )
 
 
-def _lsh_sig_udf(dim: int, planes: int, tables: int):
-    """Vectorized signature kernel: one numpy matmul per Arrow batch
-    computes ALL table signatures (bits of V @ H^T ≥ 0, packed to
-    int64 per table).  Hyperplanes come from a FIXED seed → identical
-    on every executor and every run; nothing is shipped."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
+def rademacher_planes(dim: int, planes: int, tables: int, salt: str = "ann") -> list:
+    """±1 hyperplane entries, pure function of (salt, table, plane, dim
+    index) via md5 — reproducible anywhere (incl. the DuckDB oracle).
+    Returns mats[table][plane] = list[±1] of length dim."""
+    mats = []
+    for t in range(tables):
+        tp = []
+        for p in range(planes):
+            signs = [
+                1
+                if int(hashlib.md5(f"{salt}:{t}:{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+                else -1
+                for d in range(dim)
+            ]
+            tp.append(signs)
+        mats.append(tp)
+    return mats
 
-    rng = np.random.default_rng(42)
-    H = rng.standard_normal((tables * planes, dim))
-    weights = (1 << np.arange(planes, dtype=np.int64))
 
-    def _sigs(vecs):
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (V @ H.T) >= 0  # (n, tables*planes)
-        bits = bits.reshape(len(V), tables, planes)
-        packed = (bits * weights).sum(axis=2)  # (n, tables) int64
-        return pd.Series(list(packed))
+def quantized(vec_col):
+    """round(x·10⁶) as bigint — the exact-integer view of the embedding
+    used for bucket decisions (float dot products can differ across
+    engines by summation order; integer sums cannot)."""
+    return F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * 1000000, 0).cast("long")
+    )
 
-    return pandas_udf(_sigs, T.ArrayType(T.LongType()))
+
+def _bucket_expr(qcol, table_planes):
+    """Σ_p (⟨q, plane_p⟩ > 0) << p — the per-table bucket id, all
+    integer arithmetic inside whole-stage codegen."""
+    b = F.lit(0).cast("long")
+    for p, signs in enumerate(table_planes):
+        plane = F.array(*[F.lit(s).cast("long") for s in signs])
+        dot = F.aggregate(
+            F.zip_with(qcol, plane, lambda a, s: a * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        b = b + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return b
+
+
+def lsh_banded(
+    df: DataFrame,
+    idn: str,
+    mats: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (idn, t, bucket): one row per (vector, table) with the
+    signature bucket for that table.  No Python in the row path."""
+    tables = len(mats)
+    base = df.select(F.col(id_col).alias(idn), quantized(F.col(vec_col)).alias("_q"))
+    return base.select(
+        idn,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), _bucket_expr(F.col("_q"), mats[t]).alias("bucket")
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(idn, "tb.t", "tb.bucket")
 
 
 def lsh_topk(
@@ -90,39 +142,82 @@ def lsh_topk(
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt: str = "ann",
 ) -> DataFrame:
     """ANN: multi-table random-hyperplane LSH.  Candidates = vectors
     sharing a bucket in ANY of `tables` signature tables; exact cosine
     ranks within the candidate set.  Recall ≈ 1-(1-p^planes)^tables.
 
-    Physical shape (scale-correct): signatures via one Arrow-batched
-    matmul, posexplode to (id, table, bucket), shuffle equi-join on
-    (table, bucket) — candidate volume is bounded by bucket sizes,
-    never the corpus×query cross product."""
-    sig_udf = _lsh_sig_udf(dim, planes, tables)
-
-    def banded(df, idn):
-        return (
-            df.select(
-                F.col(id_col).alias(idn),
-                _as_double(vec_col).alias(idn + "_v"),
-                sig_udf(F.col(vec_col)).alias("sigs"),
-            )
-            .select(idn, idn + "_v", F.posexplode("sigs").alias("t", "bucket"))
-        )
-
-    c = banded(corpus, "id")
-    q = F.broadcast(banded(queries, "q_id"))
-    scored = (
+    Physical shape (scale-correct): signatures are one codegen'd
+    projection, explode to (id, table, bucket), broadcast equi-join on
+    (table, bucket) against the small banded query side, DEDUP the
+    candidate ids first, and only then re-join the full vectors for the
+    exact cosine re-rank — the wide arrays never ride the candidate
+    shuffle, and the volume is bounded by bucket sizes, never the
+    corpus×query cross product."""
+    mats = rademacher_planes(dim, planes, tables, salt)
+    c = lsh_banded(corpus, "id", mats, id_col, vec_col)
+    q = F.broadcast(lsh_banded(queries, "q_id", mats, id_col, vec_col))
+    cand = (
         c.join(q, ["t", "bucket"])
         .filter(F.col("id") != F.col("q_id"))
-        .select("q_id", "id", "id_v", "q_id_v")
-        .dropDuplicates(["q_id", "id"])
+        .select("q_id", "id")
+        .distinct()
+    )
+    cv = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("id_v"))
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), _as_double(vec_col).alias("q_v"))
+    )
+    scored = (
+        cand.join(cv, "id")
+        .join(qv, "q_id")
         .select(
             "q_id",
             "id",
-            F.round(cosine(F.col("id_v"), F.col("q_id_v")), 6).alias("cosine"),
+            F.round(cosine(F.col("id_v"), F.col("q_v")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    planes: int = 3,
+    tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "neardup",
+) -> DataFrame:
+    """Bucketed embedding near-dup: candidate pairs share an LSH bucket
+    in any table (self-join on (t, bucket), id_a < id_b), then the
+    exact cosine filters at `threshold`.  This is the 100 TB path — the
+    all-pairs O(n²) variant in operators/dedup.py is the sf0.01-only
+    exactness baseline.  Tune planes up (smaller buckets) and tables up
+    (recall) as the corpus grows; recall ≈ 1-(1-p^planes)^tables."""
+    mats = rademacher_planes(dim, planes, tables, salt)
+    banded = lsh_banded(emb, "id", mats, id_col, vec_col)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    return (
+        cand.join(v.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(v.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

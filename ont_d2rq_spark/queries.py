@@ -395,15 +395,20 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def q_anti_join(spark, sf_dir):
-    """left_anti join (J5): customers with no orders."""
+    """left_anti join (J5): customers with no RECENT orders.  The date
+    filter keeps the result non-vacuous (in the driver data every
+    customer has *some* order, so an unfiltered anti-join would return
+    0 rows from both engines and prove nothing)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-09-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 SQL_ANTI_JOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-09-01')
 """
 
 
@@ -1078,21 +1083,137 @@ SELECT id_a, id_b, cosine FROM (
 """
 
 
-# -- rows-only entries (hash/UDF paths DuckDB cannot replay: xxhash64,
-#    numpy LSH planes, stubbed media decode, iterative checkpointing) ----
+# -- hash-family queries: the md5 hash family makes every signature,
+#    band bucket, and LSH plane a pure function DuckDB also computes,
+#    so the driver oracle replays the IDENTICAL algorithm (same
+#    candidates, same scores) — not a weaker containment check.  The
+#    operators also run an xxhash64 family (same code path, hash
+#    expression swapped) as the fastest JVM option; bench.py measures
+#    both. ------------------------------------------------------------
 
 def q_minhash_dedup(spark, sf_dir):
     from ont_d2rq_spark.operators.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup(d, threshold=0.5)
+    return minhash_dedup(d, threshold=0.5, hash_family="md5")
+
+
+def sql_minhash_dedup(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """DuckDB replay of the FULL minhash pipeline (md5 hash family):
+    shingle → 64 per-seed min-hashes → 16-band buckets → candidate
+    self-join → exact Jaccard verification."""
+    rows = num_hashes // bands
+    mins = ",\n       ".join(
+        f"MIN(md5('{j}:' || s)) AS h{j}" for j in range(num_hashes)
+    )
+    bstructs = ",\n    ".join(
+        "{'band': %d, 'bucket': md5(%s)}"
+        % (b, " || ',' || ".join(f"h{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id AS id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT id, list_distinct([array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')
+                            FOR i IN range(0, greatest(len(t) - 3, 0) + 1)]) AS grams
+  FROM norm
+),
+ex AS (SELECT id, unnest(grams) AS s FROM sh),
+sig AS (SELECT id, {mins} FROM ex GROUP BY id),
+banded AS (
+  SELECT id, unnest([
+    {bstructs}
+  ], recursive := true) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+ver AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS na, len(b.grams) AS nb
+  FROM cand JOIN sh a ON a.id = cand.id_a JOIN sh b ON b.id = cand.id_b
+)
+SELECT id_a, id_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
+FROM ver WHERE ROUND(inter / (na + nb - inter), 6) >= {threshold}
+"""
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    from ont_d2rq_spark.operators.dedup import simhash_candidates, simhash_signatures
+    from ont_d2rq_spark.operators.dedup import simhash_candidates, simhash_signatures_md5
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_candidates(simhash_signatures(d), max_hamming=16)
+    return simhash_candidates(simhash_signatures_md5(d, bits=60), max_hamming=16, bits=60)
+
+
+def sql_simhash_near_dup(bits: int = 60, max_hamming: int = 16) -> str:
+    """DuckDB replay of the md5-family SimHash: identical 60-bit token
+    hash ('0x'+15 hex chars of md5 → BIGINT, = Spark conv(…,16,10)),
+    identical per-bit majority signature, identical quarter blocking."""
+    sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    sig = "\n     + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    width = bits // 4
+    mask = (1 << width) - 1
+    return rf"""
+WITH norm AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS toks
+  FROM documents
+),
+ex AS (
+  SELECT id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+  FROM (SELECT id, unnest(toks) AS w FROM norm)
+),
+sums AS (SELECT id, {sums} FROM ex GROUP BY id),
+sig AS (SELECT id, {sig} AS simhash FROM sums),
+parts AS (
+  SELECT id, simhash, q, (simhash >> CAST(q * {width} AS INT)) & {mask} AS part
+  FROM sig, (SELECT unnest(range(4)) AS q)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM parts a JOIN parts b ON a.q = b.q AND a.part = b.part AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def _duckdb_banded_cte(planes: int, tables: int, salt: str) -> str:
+    """Shared CTE text: quantized embeddings + per-table LSH buckets
+    from the SAME md5-Rademacher planes the Spark operator uses."""
+    from ont_d2rq_spark.operators.similarity import rademacher_planes
+
+    mats = rademacher_planes(64, planes, tables, salt)
+    structs = []
+    for t in range(tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(q, {mats[t][p]}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes)
+        )
+        structs.append("{'t': %d, 'bucket': %s}" % (t, terms))
+    slist = ",\n    ".join(structs)
+    return f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         [CAST(ROUND(x * 1000000, 0) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+banded AS (
+  SELECT vec_id, unnest([
+    {slist}
+  ], recursive := true) FROM e
+)"""
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1100,15 +1221,100 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return lsh_topk(e, q, dim=64, k=5, planes=6, tables=12)
+    out = lsh_topk(e, q, dim=64, k=5, planes=6, tables=12)
+    return out.select("q_id", "id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+
+
+def sql_ann_lsh_topk(k: int = 5, planes: int = 6, tables: int = 12) -> str:
+    return f"""
+WITH {_duckdb_banded_cte(planes, tables, "ann")},
+cand AS (
+  SELECT DISTINCT qs.vec_id AS q_id, c.vec_id AS id
+  FROM banded c JOIN banded qs ON c.t = qs.t AND c.bucket = qs.bucket
+  WHERE qs.vec_id < 10 AND c.vec_id <> qs.vec_id
+),
+scored AS (
+  SELECT q_id, id,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM cand JOIN e a ON a.vec_id = cand.id JOIN e b ON b.vec_id = cand.q_id
+)
+SELECT q_id, id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """The SCALE path for embedding near-dup: LSH-bucketed candidates
+    (no all-pairs product), exact cosine verification.  Oracle replays
+    the identical bucketing, so this green row certifies the 100 TB
+    shape, not just the quadratic baseline."""
+    from ont_d2rq_spark.operators.similarity import lsh_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(e, dim=64, threshold=0.3, planes=3, tables=16)
+
+
+def sql_embedding_near_dup_lsh(threshold: float = 0.3, planes: int = 3, tables: int = 16) -> str:
+    return f"""
+WITH {_duckdb_banded_cte(planes, tables, "neardup")},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b
+WHERE ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+"""
 
 
 def q_media_decode(spark, sf_dir):
+    """Multimodal decode plumbing (mapInPandas over Arrow batches).  The
+    decode kernel is a declared deterministic STUB (no codec libs in the
+    container), so the oracle can replay it: width/height/histogram are
+    pure functions of the synthesized bytes.  The query surface emits
+    scalar columns only (the driver's rows-only canonicalizer can't hash
+    array cells); the float feature vector stays on the operator,
+    covered by pytest."""
     from ont_d2rq_spark.operators.multimodal import decode_media, media_refs_from_docs
     from ont_d2rq_spark.pipeline.docs import synthesize_interleaved
 
     docs = synthesize_interleaved(spark, sf_dir)
-    return decode_media(media_refs_from_docs(docs))
+    meta = decode_media(media_refs_from_docs(docs))
+    return meta.select(
+        "media_ref",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        F.concat_ws(",", F.transform("hist", lambda x: x.cast("string"))).alias("hist_csv"),
+    )
+
+
+# Replays the STUB decode kernel: content = media_ref || '#' || kind
+# (ASCII), width = 16 + first_byte % 64, height = 16 + len % 64,
+# hist[b] = #bytes with byte % 8 == b.
+SQL_MEDIA_DECODE = f"""
+WITH {_SPANS_CTE},
+m AS (
+  SELECT media_ref, kind, media_ref || '#' || kind AS content
+  FROM spans WHERE media_ref IS NOT NULL
+)
+SELECT media_ref, kind,
+       CAST(length(content) AS BIGINT) AS n_bytes,
+       CAST(16 + (ascii(substr(content, 1, 1)) % 64) AS INT) AS width,
+       CAST(16 + (length(content) % 64) AS INT) AS height,
+       array_to_string(
+         [len(list_filter(range(1, length(content) + 1),
+                          i -> ascii(substr(content, CAST(i AS INT), 1)) % 8 = b))
+          FOR b IN range(8)], ',') AS hist_csv
+FROM m
+"""
 
 
 def q_pipeline_kg(spark, sf_dir):
@@ -1190,6 +1396,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_language_id": q_doc_language_id,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "minhash_dedup": q_minhash_dedup,
     "simhash_near_dup": q_simhash_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1241,9 +1448,10 @@ def oracles() -> dict[str, str]:
         "doc_quality": SQL_DOC_QUALITY,
         "doc_language_id": SQL_DOC_LANGUAGE_ID,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embedding_near_dup_lsh": sql_embedding_near_dup_lsh(),
+        "minhash_dedup": sql_minhash_dedup(),
+        "simhash_near_dup": sql_simhash_near_dup(),
+        "ann_lsh_topk": sql_ann_lsh_topk(),
+        "media_decode": SQL_MEDIA_DECODE,
         "pipeline_kg": SQL_PIPELINE_KG,
-        # minhash_dedup / simhash_near_dup / ann_lsh_topk / media_decode:
-        # intentionally no oracle — xxhash64 / numpy-LSH planes / stubbed
-        # decode are not DuckDB-replayable; driver records rows-only
-        # checks (their semantics are pytest-golden-tested instead).
     }

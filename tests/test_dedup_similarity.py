@@ -102,6 +102,50 @@ def test_lsh_topk_recall_on_real_embeddings(spark):
     assert ap == ap2
 
 
+def test_minhash_md5_family_matches_xxhash_semantics(docs):
+    """The md5 hash family (the DuckDB-replayable one the driver oracle
+    checks) finds the same near-dups as the xxhash64 fast path — same
+    algorithm, different hash family."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_dedup(docs, threshold=0.5, hash_family="md5").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_md5(docs):
+    sigs = D.simhash_signatures_md5(docs, bits=60)
+    rows = {r["id"]: r["simhash"] for r in sigs.collect()}
+    assert rows[1] == rows[2] == rows[5]
+    ham13 = bin(rows[1] ^ rows[3]).count("1")
+    ham14 = bin(rows[1] ^ rows[4]).count("1")
+    assert ham13 < ham14
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_candidates(sigs, max_hamming=8, bits=60).collect()
+    }
+    assert (1, 2) in cands
+
+
+def test_lsh_near_dup_recall(spark):
+    """Bucketed near-dup (the 100 TB path) is a verified subset of the
+    exact all-pairs result with high recall."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup(e, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_near_dup_pairs(e, dim=64, threshold=0.3, planes=3, tables=16).collect()
+    }
+    assert lsh <= exact  # cosine-verified candidates can never be false positives
+    assert exact, "fixture must contain near-dup pairs"
+    assert len(lsh) / len(exact) >= 0.8  # recall ≈ 1-(1-p^3)^16 ≈ 0.94+ at cos≥0.3
+
+
 def test_text_analysis(docs):
     q = {r["doc_id"]: r for r in TX.quality_score(docs).collect()}
     assert 0 <= q[1]["quality"] <= 1
