@@ -633,6 +633,12 @@ class MappingCompiler:
             fused_frame = df.select(
                 F.explode(F.array_compact(F.array(*structs))).alias("t")
             ).select("t.*")
+            # d2rq:resultSizeLimit applies per relation in BOTH
+            # evaluation modes (bridge_df caps singles; fuse must not
+            # silently lift the cap the mapping declares)
+            cap = self.mapping.database.result_size_limit
+            if cap is not None:
+                fused_frame = fused_frame.limit(cap)
             frames.append(fused_frame)
 
         for cb in singles:

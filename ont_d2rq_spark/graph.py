@@ -311,9 +311,19 @@ class VirtualGraph:
             col = F.replace(col, F.lit(a), F.lit(b))
         return col
 
+    @staticmethod
+    def _bnode_label(col):
+        """Internal blank-node ids ('_:map@@k1@@k2') carry characters
+        N-Triples forbids in BLANK_NODE_LABEL ('@', spaces, …).  At
+        serialization time emit `_:b<md5(internal id)>` — valid under
+        the grammar, collision-free, and stable per node (the same
+        internal id always serializes to the same label, preserving
+        graph isomorphism, like the reference's Jena-assigned labels)."""
+        return F.concat(F.lit("_:b"), F.md5(col))
+
     def nt_lines(self, triples: Optional[DataFrame] = None) -> DataFrame:
         t = triples if triples is not None else self.triples()
-        subj = F.when(t.subj.startswith("_:"), t.subj).otherwise(
+        subj = F.when(t.subj.startswith("_:"), self._bnode_label(t.subj)).otherwise(
             F.concat(F.lit("<"), t.subj, F.lit(">"))
         )
         pred = F.concat(F.lit("<"), t.pred, F.lit(">"))
@@ -327,7 +337,7 @@ class VirtualGraph:
             ).otherwise(lit)
         )
         obj = F.when(t.is_literal, lit).otherwise(
-            F.when(t.obj.startswith("_:"), t.obj).otherwise(
+            F.when(t.obj.startswith("_:"), self._bnode_label(t.obj)).otherwise(
                 F.concat(F.lit("<"), t.obj, F.lit(">"))
             )
         )

@@ -33,13 +33,25 @@ def asof_join(
     ``on``: timestamp/orderable column name present on both sides.
     ``by``: equality key present on both sides.
     Right rows at exactly the same ``on`` value sort BEFORE left rows
-    (side tag 0 < 1), so an equal-timestamp right row does match."""
+    (side tag 0 < 1), so an equal-timestamp right row does match.
+
+    NULL semantics (SQL ASOF JOIN equality): right rows with a NULL
+    key or NULL timestamp never match anything (filtered up front), and
+    left rows with a NULL key/timestamp come out unmatched (their
+    window partition contains no right rows).  The carried value is the
+    whole right-row STRUCT keyed on a non-null marker — so a matching
+    right row whose payload value IS NULL correctly yields NULL instead
+    of leaking an older non-null payload (last(col, ignorenulls) would
+    skip it)."""
     lt = left.withColumn("_side", F.lit(1))
-    rt = right.select(
-        F.col(by).alias(by),
-        F.col(on).alias(on),
-        F.lit(0).alias("_side"),
-        *[F.col(c) for c in right_cols],
+    rt = (
+        right.filter(F.col(by).isNotNull() & F.col(on).isNotNull())
+        .select(
+            F.col(by).alias(by),
+            F.col(on).alias(on),
+            F.lit(0).alias("_side"),
+            *[F.col(c) for c in right_cols],
+        )
     )
     for c in right_cols:
         if c in left.columns:
@@ -50,7 +62,13 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    out = merged
+    carry = F.last(
+        F.when(
+            F.col("_side") == 0, F.struct(*[F.col(c) for c in right_cols])
+        ),
+        ignorenulls=True,
+    ).over(w)
+    out = merged.withColumn("_carry", carry)
     for c in right_cols:
-        out = out.withColumn(c + suffix, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col("_side") == 1).drop("_side", *right_cols)
+        out = out.withColumn(c + suffix, F.col("_carry")[c])
+    return out.filter(F.col("_side") == 1).drop("_side", "_carry", *right_cols)

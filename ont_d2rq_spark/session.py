@@ -6,11 +6,24 @@ spark-submit deployment would set cluster-side (minus master/memory).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _pkg_sources(pkg_dir: str) -> list[tuple[str, str]]:
+    out = []
+    for dirpath, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join("ont_d2rq_spark", os.path.relpath(full, pkg_dir))
+                out.append((full, rel))
+    out.sort(key=lambda t: t[1])
+    return out
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -19,22 +32,28 @@ def ship_package(spark: SparkSession) -> None:
     (the deployment mode the north rule prescribes).  Needed because
     pandas-UDF kernels are cloudpickled BY REFERENCE to this module, so
     workers must import it; a driver whose cwd is elsewhere would
-    otherwise fail with ModuleNotFoundError mid-query.  Idempotent."""
+    otherwise fail with ModuleNotFoundError mid-query.  Idempotent.
+
+    The zip is named by a CONTENT hash of the package sources, so an
+    edited source tree never reuses a stale archive (executors would
+    silently run old pandas-UDF kernels otherwise)."""
     if getattr(spark, "_ont_d2rq_shipped", False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "ont_d2rq_spark_pkg.zip")
+    sources = _pkg_sources(pkg_dir)
+    h = hashlib.md5()
+    for full, rel in sources:
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"ont_d2rq_spark_pkg_{h.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
+        tmp = zpath + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as z:
-            for dirpath, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        rel = os.path.join(
-                            "ont_d2rq_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        z.write(full, rel)
+            for full, rel in sources:
+                z.write(full, rel)
         os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(zpath)
     spark._ont_d2rq_shipped = True

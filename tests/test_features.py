@@ -116,6 +116,14 @@ def test_bnode_and_null(spark, emp):
     assert rows(g.find(s="_:emp@@3@@1")) == {
         ("_:emp@@3@@1", EX + "name", "c", None, None, True)
     }
+    # N-Triples serialization sanitizes internal labels ('@' is not
+    # legal in BLANK_NODE_LABEL): _:b<md5(id)>, stable per node
+    import re
+
+    lines = sorted(r[0] for r in g.nt_lines(g.find(p=EX + "name")).collect())
+    assert len(lines) == 2 and lines[0] != lines[1]
+    for ln in lines:
+        assert re.match(r'^_:b[0-9a-f]{32} <', ln), ln
 
 
 def test_dynamic_property_and_invert(spark, emp):
@@ -380,6 +388,11 @@ def test_result_size_limit(spark, emp):
     )
     g = mk(spark, emp, m)
     assert g.find(p=EX + "n").count() == 2
+    # the cap holds in BOTH evaluation modes (it is per generated
+    # relation, as in the reference's per-SQL-query LIMIT: fusion packs
+    # both bridges into ONE relation → one cap; unfused = one per bridge)
+    assert g.triples(fuse=True).count() == 2
+    assert g.triples(fuse=False).count() <= 4
 
 
 def test_download_map(spark, emp):
