@@ -406,10 +406,17 @@ class MappingCompiler:
             df = df.filter(F.expr(cond))
         return df
 
+    # Above this many entries a translation table joins as a broadcast
+    # dict-DataFrame instead of a plan-embedded map literal (a 10M-entry
+    # entity-linking dictionary would explode the plan / task binary).
+    LARGE_TT_THRESHOLD = 10_000
+
     def _translate_expr(self, value: Column, tt: TranslationTable) -> Column:
-        """Dictionary translation (values/Translator.java).  Inline/CSV
-        tables become a Catalyst map literal (JVM-side, broadcast with
-        the plan); a py translator becomes a vectorized pandas UDF.
+        """Dictionary translation (values/Translator.java).  Small
+        inline/CSV tables become a Catalyst map literal (JVM-side,
+        broadcast with the plan); a py translator becomes a vectorized
+        pandas UDF.  LARGE tables never reach here — bridge_df attaches
+        them as broadcast joins (_attach_large_translations).
         Untranslatable value → NULL → triple dropped (d2rq semantics)."""
         if tt.to_rdf is not None:
             from pyspark.sql.functions import pandas_udf
@@ -423,9 +430,62 @@ class MappingCompiler:
             lits.extend([F.lit(k), F.lit(v)])
         return F.element_at(F.create_map(*lits), value.cast("string"))
 
-    def _node_exprs(self, cb: CompiledBridge, spec: NodeSpec):
+    def _is_large_tt(self, spec: NodeSpec) -> bool:
+        tt = spec.translate
+        if tt is None or tt.to_rdf is not None:
+            return False
+        return len(tt.load_pairs()) >= self.LARGE_TT_THRESHOLD
+
+    def _pre_translate_value(self, cb: CompiledBridge, spec: NodeSpec) -> Column:
+        """The lexical value a column-backed spec feeds INTO its
+        translation table (mirrors _node_exprs' pre-translate path)."""
+        qcol = _qualify(spec.column, cb.base_alias)
+        col = F.col(qcol)
+        if spec.kind == "uri_column":
+            return col.cast("string")
+        val, _ = lexical_expr(col, self.column_type(qcol, cb.aliases))
+        return val
+
+    def _attach_large_translations(
+        self, df: DataFrame, cb: CompiledBridge
+    ) -> tuple[DataFrame, dict]:
+        """Broadcast-join each LARGE translation table onto the relation
+        (left join: untranslatable → NULL → triple dropped downstream,
+        same semantics as the map-literal path).  → (df, {position:
+        translated column name}) for triple_struct to consume.
+
+        At 100 TB the dictionary is the small side: one broadcast, no
+        shuffle of the fact scan, and the plan stays O(1) in dict size
+        (the reference streams the same lookup through
+        values/Translator.java row-by-row)."""
+        overrides: dict[str, str] = {}
+        for pos, spec in (
+            ("subject", cb.subject),
+            ("predicate", cb.predicate),
+            ("object", cb.object),
+        ):
+            if not self._is_large_tt(spec) or spec.kind not in (
+                "uri_column",
+                "literal_column",
+            ):
+                continue
+            out_col = f"__tt_{pos}"
+            tdf = self.spark.createDataFrame(
+                list(spec.translate.load_pairs().items()),
+                f"__tt_key_{pos} string, {out_col} string",
+            )
+            key = self._pre_translate_value(cb, spec)
+            df = df.join(
+                F.broadcast(tdf), key == F.col(f"__tt_key_{pos}"), "left"
+            ).drop(f"__tt_key_{pos}")
+            overrides[pos] = out_col
+        return df, overrides
+
+    def _node_exprs(self, cb: CompiledBridge, spec: NodeSpec, tt_col: Optional[str] = None):
         """→ (value Column, datatype Column, lang Column, is_literal,
-        required-not-null qualified columns)."""
+        required-not-null qualified columns).  ``tt_col``: pre-joined
+        translated-value column (large translation tables) replacing the
+        inline map-literal lookup."""
         resolve = lambda q: F.col(_qualify(q, cb.base_alias))
         required: list[str] = [_qualify(c, cb.base_alias) for c in spec.columns]
 
@@ -458,7 +518,11 @@ class MappingCompiler:
                 datatype = spec.datatype or (None if lang else inferred)
                 is_lit = True
             if spec.translate is not None:
-                val = self._translate_expr(val, spec.translate)
+                val = (
+                    F.col(tt_col)
+                    if tt_col is not None
+                    else self._translate_expr(val, spec.translate)
+                )
                 required = [qcol]  # translation null handled by obj-not-null filter
             return (
                 val,
@@ -485,16 +549,17 @@ class MappingCompiler:
         raise MappingError(f"unknown node kind {spec.kind}")
 
     def triple_struct(
-        self, cb: CompiledBridge, guard_conditions: bool = False
+        self, cb: CompiledBridge, guard_conditions: bool = False, tt_overrides=None
     ) -> tuple[Column, Column]:
         """(struct(subj,pred,obj,…) or NULL, usable-for-fusion marker).
         NULL when any required column is NULL (P6) or object untranslatable.
         With ``guard_conditions`` the bridge's d2rq:condition filters are
         folded into the guard instead of the relation — used by join
         fusion, where bridges with different conditions share one scan."""
-        s_val, _, _, _, s_req = self._node_exprs(cb, cb.subject)
-        p_val, _, _, _, p_req = self._node_exprs(cb, cb.predicate)
-        o_val, o_dt, o_lang, o_lit, o_req = self._node_exprs(cb, cb.object)
+        tt_overrides = tt_overrides or {}
+        s_val, _, _, _, s_req = self._node_exprs(cb, cb.subject, tt_overrides.get("subject"))
+        p_val, _, _, _, p_req = self._node_exprs(cb, cb.predicate, tt_overrides.get("predicate"))
+        o_val, o_dt, o_lang, o_lit, o_req = self._node_exprs(cb, cb.object, tt_overrides.get("object"))
         struct = F.struct(
             s_val.cast("string").alias("subj"),
             p_val.cast("string").alias("pred"),
@@ -532,7 +597,8 @@ class MappingCompiler:
         df = self._build_relation(cb)
         for qcol, const in (constraints or {}).items():
             df = df.filter(F.col(qcol) == F.lit(const))
-        struct, notnull = self.triple_struct(cb)
+        df, tt_cols = self._attach_large_translations(df, cb)
+        struct, notnull = self.triple_struct(cb, tt_overrides=tt_cols)
         df = df.filter(notnull)
         if cb.order_column:
             oc = F.col(_qualify(cb.order_column, cb.base_alias))
@@ -582,7 +648,16 @@ class MappingCompiler:
         by_key: dict = {}
         singles: list[CompiledBridge] = []
         for cb in bridges:
-            if cb.limit is not None or cb.order_column or cb.distinct or not self._n_to_1_joins(cb):
+            has_large_tt = any(
+                self._is_large_tt(s) for s in (cb.subject, cb.predicate, cb.object)
+            )
+            if (
+                cb.limit is not None
+                or cb.order_column
+                or cb.distinct
+                or has_large_tt  # broadcast-dict join path → singles
+                or not self._n_to_1_joins(cb)
+            ):
                 singles.append(cb)
                 continue
             key = (cb.base_table, cb.base_alias, tuple(sorted(cb.aliases.items())))

@@ -50,12 +50,38 @@ class Var(str):
     """A SPARQL-style variable in a BGP pattern (e.g. Var('x'))."""
 
 
+class Lit(str):
+    """A literal term with optional datatype/lang for TYPED matching —
+    the analogue of the reference's TypedNodeMaker unification
+    (nodes/TypedNodeMaker.java): a bound literal matches a relation
+    only when the lexical form AND the datatype/lang agree.  A plain
+    `str` term keeps the lexical-only wildcard semantics."""
+
+    def __new__(cls, lexical: str, datatype: Optional[str] = None, lang: Optional[str] = None):
+        self = super().__new__(cls, lexical)
+        self.datatype = datatype
+        self.lang = lang
+        return self
+
+
 def _is_var(term) -> bool:
-    return isinstance(term, Var) or (isinstance(term, str) and term.startswith("?"))
+    return isinstance(term, Var) or (
+        isinstance(term, str) and not isinstance(term, Lit) and term.startswith("?")
+    )
 
 
 def _var_name(term) -> str:
     return term[1:] if isinstance(term, str) and term.startswith("?") else str(term)
+
+
+_COMPANION_SUFFIXES = ("__dt", "__lang", "__islit")
+
+
+def _is_companion(col: str) -> bool:
+    """Hidden typed-literal companion columns a BGP projects next to
+    each variable (v__dt / v__lang / v__islit) so FILTER builtins
+    (lang(), datatype()) have something to evaluate against."""
+    return col.endswith(_COMPANION_SUFFIXES)
 
 
 class VirtualGraph:
@@ -78,11 +104,47 @@ class VirtualGraph:
     # node binding (reference: TripleRelation.selectTriple + NodeMaker
     # unification, values/*.valueExpression — SURVEY §3 E1 step 2)
     # ------------------------------------------------------------------
+    def _literal_meta(self, cb: CompiledBridge, spec: NodeSpec):
+        """Effective (is_literal, datatype, lang) a spec produces —
+        mirrors _node_exprs' datatype inference for typed unification."""
+        if spec.kind in ("uri_pattern", "uri_column", "uri_expr", "bnode"):
+            return False, None, None
+        if spec.kind == "constant":
+            return spec.is_literal, spec.datatype, spec.lang
+        if spec.kind == "literal_column":
+            if spec.datatype:
+                dt = spec.datatype
+            elif spec.lang:
+                dt = None
+            else:
+                from ont_d2rq_spark.functions.lexical import datatype_for
+
+                dt = datatype_for(
+                    self.compiler.column_type(
+                        _qualify(spec.column, cb.base_alias), cb.aliases
+                    )
+                )
+            return True, dt, spec.lang
+        return True, spec.datatype, spec.lang  # literal_pattern / literal_expr
+
     def _bind(self, cb: CompiledBridge, spec: NodeSpec, value: str, out_col: str):
         """→ (constraints {qualified col: typed const}, post_filters [Column]).
         Raises _Prune when the relation cannot produce `value`."""
         constraints: dict = {}
         post: list = []
+        # typed-literal unification (nodes/TypedNodeMaker.java): a Lit
+        # carrying datatype/lang prunes relations whose literal type
+        # cannot match, BEFORE any lexical inversion
+        want_dt = getattr(value, "datatype", None)
+        want_lang = getattr(value, "lang", None)
+        if want_dt is not None or want_lang is not None:
+            is_lit, eff_dt, eff_lang = self._literal_meta(cb, spec)
+            if not is_lit:
+                raise _Prune()
+            if want_lang is not None and (eff_lang or "").lower() != want_lang.lower():
+                raise _Prune()
+            if want_dt is not None and eff_dt != want_dt:
+                raise _Prune()
         # value-decorator pruning (values/ValueDecorator.java, P4)
         if spec.value_max_length is not None and len(value) > spec.value_max_length:
             raise _Prune()
@@ -147,8 +209,15 @@ class VirtualGraph:
         s: Optional[str] = None,
         p: Optional[str] = None,
         o: Optional[str] = None,
+        o_datatype: Optional[str] = None,
+        o_lang: Optional[str] = None,
     ) -> DataFrame:
-        """Triple-pattern lookup: None = wildcard.  One Catalyst job."""
+        """Triple-pattern lookup: None = wildcard.  One Catalyst job.
+        ``o_datatype``/``o_lang`` make the bound object a TYPED literal
+        (find(o='42', o_datatype=XSD+'integer') excludes bridges whose
+        literals are strings — TypedNodeMaker unification)."""
+        if o is not None and (o_datatype is not None or o_lang is not None):
+            o = Lit(o, datatype=o_datatype, lang=o_lang)
         frames = []
         for cb in self.bridges:
             constraints: dict = {}
@@ -243,18 +312,43 @@ class VirtualGraph:
                         else:
                             seen[v] = col
                             sel.append(F.col(col).alias(v))
+                            # typed-literal companions: FILTER builtins
+                            # (lang/datatype) evaluate against these
+                            if col == "obj":
+                                sel += [
+                                    F.col("obj_datatype").alias(f"{v}__dt"),
+                                    F.col("obj_lang").alias(f"{v}__lang"),
+                                    F.col("is_literal").alias(f"{v}__islit"),
+                                ]
+                            else:  # subjects/predicates are never literals
+                                sel += [
+                                    F.lit(None).cast("string").alias(f"{v}__dt"),
+                                    F.lit(None).cast("string").alias(f"{v}__lang"),
+                                    F.lit(False).alias(f"{v}__islit"),
+                                ]
                 candidates.append(df.select(*sel) if sel else df.limit(1).select(F.lit(1).alias("_m")))
             if not candidates:
                 return self.spark.createDataFrame([], "dummy string").limit(0)
             frames.append(reduce(lambda a, b: a.unionByName(b), candidates))
+
+        def _merge(left, right, how):
+            # join on the VARIABLE columns only; companion columns are
+            # metadata (NULL-heavy — null keys would drop rows).  The
+            # left occurrence of a companion wins on collision.
+            shared = [
+                c for c in left.columns if c in right.columns and not _is_companion(c)
+            ]
+            dup = [c for c in right.columns if _is_companion(c) and c in left.columns]
+            right = right.drop(*dup)
+            if shared:
+                return left.join(right, on=shared, how=how)
+            return left.crossJoin(right) if how == "inner" else left.crossJoin(right)
+
         out = frames[0]
         for nxt in frames[1:]:
-            shared = [c for c in out.columns if c in nxt.columns]
-            out = out.join(nxt, on=shared, how="inner") if shared else out.crossJoin(nxt)
+            out = _merge(out, nxt, "inner")
         for group in optional or []:
-            sub = self.bgp(group)
-            shared = [c for c in out.columns if c in sub.columns]
-            out = out.join(sub, on=shared, how="left") if shared else out.crossJoin(sub)
+            out = _merge(out, self.bgp(group), "left")
         for f in filters or []:
             out = out.filter(F.expr(f))
         return out

@@ -809,6 +809,60 @@ WHERE r_name IN ('ASIA', 'EUROPE')
 """
 
 
+def q_sparql_agg(spark, sf_dir):
+    """SPARQL GROUP BY + aggregates (COUNT/COUNT DISTINCT) — the
+    residual algebra the reference delegates to ARQ, compiled here to a
+    Catalyst hash aggregate over the BGP join."""
+    from ont_d2rq_spark.sparql import execute
+
+    g = _graph(spark, sf_dir)
+    return execute(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?seg (COUNT(*) AS ?n) (COUNT(DISTINCT ?nat) AS ?n_nations) WHERE {
+            ?c ex:marketSegment ?seg .
+            ?c ex:inNation ?nat .
+        } GROUP BY ?seg
+        """,
+    )
+
+
+SQL_SPARQL_AGG = f"""
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT nat) AS BIGINT) AS n_nations
+FROM (
+  SELECT {_SEG_CASE} AS seg,
+         'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS nat
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE {_SEG_CASE} IS NOT NULL
+) GROUP BY seg
+"""
+
+
+def q_sparql_filter_lang(spark, sf_dir):
+    """SPARQL FILTER builtin lang() over typed-literal companions: only
+    the customer name bridge carries @en in the tpch mapping."""
+    from ont_d2rq_spark.sparql import execute
+
+    g = _graph(spark, sf_dir)
+    return execute(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?s ?name WHERE {
+            ?s ex:name ?name .
+            FILTER (lang(?name) = 'en')
+        }
+        """,
+    )
+
+
+SQL_SPARQL_FILTER_LANG = """
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS s, c_name AS name
+FROM customer WHERE c_name IS NOT NULL
+"""
+
+
 def q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window aggregation over the events stream
     table — the batch shape of the Structured Streaming path (§2.9);
@@ -1383,6 +1437,8 @@ QUERIES = {
     "doc_tokens_bpe": q_doc_tokens_bpe,
     "doc_clean": q_doc_clean,
     "sparql_select": q_sparql_select,
+    "sparql_agg": q_sparql_agg,
+    "sparql_filter_lang": q_sparql_filter_lang,
     "events_windowed": q_events_windowed,
     "agg_count_distinct": q_agg_count_distinct,
     "corpus_prep": q_corpus_prep,
@@ -1435,6 +1491,8 @@ def oracles() -> dict[str, str]:
         "doc_tokens_bpe": SQL_DOC_TOKENS_BPE,
         "doc_clean": SQL_DOC_CLEAN,
         "sparql_select": SQL_SPARQL_SELECT,
+        "sparql_agg": SQL_SPARQL_AGG,
+        "sparql_filter_lang": SQL_SPARQL_FILTER_LANG,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "agg_count_distinct": SQL_AGG_COUNT_DISTINCT,
         "corpus_prep": SQL_CORPUS_PREP,

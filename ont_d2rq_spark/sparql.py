@@ -7,22 +7,36 @@ DataFrame join DAG (graph.bgp), residual ops (ORDER BY, LIMIT,
 DISTINCT, projection) are native DataFrame ops — Catalyst is both the
 translator and the executor.
 
-Grammar (the practical subset D2RQ deployments use):
+Grammar (the practical subset D2RQ deployments use — the reference
+gets the residual algebra free from ARQ, engine/QueryEngineD2RQ.java;
+here the residual ops are native DataFrame ops):
 
   PREFIX pfx: <iri>                         (any number)
-  SELECT [DISTINCT] (?v ... | *) WHERE {
-      triple patterns '.'-separated;
-      FILTER (<spark-sql boolean over vars, ?var references>)
+  SELECT [DISTINCT] (?v ... | (AGG(?v) AS ?a) | (expr AS ?a) | *) WHERE {
+      triple patterns '.'-separated;  { A } UNION { B } groups;
+      FILTER (<expr>)            — Spark-SQL booleans over vars plus the
+                                   SPARQL builtins regex()/str()/lang()/
+                                   datatype()/bound(), translated to
+                                   Catalyst expressions
       OPTIONAL { triple patterns }
+      MINUS { triple patterns }  — anti-join on the shared variables
+      BIND (<expr> AS ?v)
+      VALUES ?v { t1 t2 ... } | VALUES (?v ?w) { (t1 t2) ... }
   }
+  [GROUP BY ?v ...] [HAVING (<expr over aliases>) ...]
   [ORDER BY [ASC|DESC](?v) ...] [LIMIT n] [OFFSET n]
   ASK WHERE { ... }
 
-Terms: <iri>, pfx:local, "literal" (@lang / ^^dt accepted, matched on
-lexical form), numbers, ?var / $var, and 'a' for rdf:type.
+Aggregates: COUNT(*) / COUNT(?v) / COUNT(DISTINCT ?v) / SUM / AVG /
+MIN / MAX (SUM/AVG cast the lexical binding to double; MIN/MAX compare
+the lexical form).  BINDs evaluate before FILTERs within a group.
 
-Not supported (raise): UNION, GROUP BY/aggregates (use DataFrame ops on
-the bgp() result), property paths, subqueries, CONSTRUCT/DESCRIBE.
+Terms: <iri>, pfx:local, "literal" (@lang / ^^dt make the bound term a
+TYPED literal — datatype/lang must unify, TypedNodeMaker semantics),
+numbers, ?var / $var, and 'a' for rdf:type.
+
+Not supported (raise): property paths, subqueries, CONSTRUCT/DESCRIBE,
+GRAPH/SERVICE, UNDEF in VALUES.
 """
 
 from __future__ import annotations
@@ -35,6 +49,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+
+_COMP_RE = re.compile(r"\b\w+?__(?:dt|lang|islit)\b")
+
+
+def _rewrite_builtins(expr: str) -> str:
+    """SPARQL FILTER/BIND builtins → Spark SQL over the binding columns
+    and their typed-literal companions (v__lang / v__dt / v__islit) —
+    the Catalyst analogue of the reference's TransformExprToSQLApplyer
+    + expr/* translation layer."""
+    e = re.sub(r"\blang\s*\(\s*(\w+)\s*\)", r"coalesce(\1__lang, '')", expr, flags=re.I)
+    e = re.sub(
+        r"\bdatatype\s*\(\s*(\w+)\s*\)",
+        rf"coalesce(\1__dt, CASE WHEN \1__islit THEN '{XSD_STRING}' END)",
+        e,
+        flags=re.I,
+    )
+    e = re.sub(r"\bbound\s*\(\s*(\w+)\s*\)", r"(\1 IS NOT NULL)", e, flags=re.I)
+    e = re.sub(r"\bisliteral\s*\(\s*(\w+)\s*\)", r"coalesce(\1__islit, false)", e, flags=re.I)
+    e = re.sub(r"\bisiri\s*\(\s*(\w+)\s*\)", r"(NOT coalesce(\1__islit, false))", e, flags=re.I)
+    e = re.sub(r"\bstr\s*\(\s*(\w+)\s*\)", r"\1", e, flags=re.I)
+
+    def _rx(m):
+        var, pat, flags = m.group(1), m.group(2), m.group(4)
+        if flags:
+            pat = pat[0] + f"(?{flags[1:-1]})" + pat[1:-1] + pat[-1]
+        return f"regexp_like({var}, {pat})"
+
+    e = re.sub(
+        r"\bregex\s*\(\s*(\w+)\s*,\s*('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+        r"(\s*,\s*('[a-zA-Z]*'|\"[a-zA-Z]*\"))?\s*\)",
+        _rx,
+        e,
+        flags=re.I,
+    )
+    # SPARQL logical operators → Spark SQL
+    e = e.replace("&&", " AND ").replace("||", " OR ")
+    e = re.sub(r"(?<![!=<>])!(?!=)", " NOT ", e)
+    return e
 
 _TOK = re.compile(
     r"""
@@ -44,6 +99,7 @@ _TOK = re.compile(
   | (?P<num>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.%-]*)
   | (?P<kw>[A-Za-z_]+)
+  | (?P<op>>=|<=|!=|&&|\|\||[=<>+\-/!%])
   | (?P<punct>[{}().;,*])
   | (?P<ws>\s+)
 """,
@@ -54,7 +110,7 @@ _TOK = re.compile(
 @dataclass
 class Query:
     form: str  # SELECT | ASK
-    variables: list[str] = field(default_factory=list)  # empty = *
+    variables: list[str] = field(default_factory=list)  # output names; empty = *
     distinct: bool = False
     patterns: list[tuple] = field(default_factory=list)
     filters: list[str] = field(default_factory=list)
@@ -63,6 +119,13 @@ class Query:
     order_by: list[tuple] = field(default_factory=list)  # (var, desc)
     limit: Optional[int] = None
     offset: Optional[int] = None
+    # ("var", name) | ("agg", fn, arg, distinct, alias) | ("expr", sql, alias)
+    projections: list[tuple] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    having: list[str] = field(default_factory=list)
+    binds: list[tuple] = field(default_factory=list)  # (sql_expr, var)
+    values_clauses: list[tuple] = field(default_factory=list)  # (vars, rows)
+    minus: list[list[tuple]] = field(default_factory=list)
 
 
 class SparqlError(ValueError):
@@ -112,9 +175,25 @@ class _P:
         if t.lastgroup in ("iri",):
             return g[1:-1]
         if t.group("str") is not None:
-            # literal → matched on lexical form (graph nodes carry the
-            # lexical value; datatype/lang live in separate columns)
-            return t.group("str")[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            lex = t.group("str")[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            lang, dt = t.group("lang"), t.group("dtiri")
+            if lang or dt:
+                # typed literal → datatype/lang must UNIFY with the
+                # relation's literal type (TypedNodeMaker semantics)
+                from ont_d2rq_spark.graph import Lit
+
+                dturi = None
+                if dt:
+                    if dt.startswith("<"):
+                        dturi = dt[1:-1]
+                    else:
+                        pfx, _, local = dt.partition(":")
+                        if pfx not in self.prefixes:
+                            raise SparqlError(f"unknown prefix {pfx!r}")
+                        dturi = self.prefixes[pfx] + local
+                return Lit(lex, datatype=dturi, lang=lang[1:] if lang else None)
+            # plain literal → matched on lexical form
+            return lex
         if t.lastgroup == "var":
             return "?" + g[1:]
         if t.lastgroup == "num":
@@ -154,13 +233,29 @@ class _P:
                     self.next()
                     break
                 if t.lastgroup == "var":
-                    q.variables.append(self.next().group(0)[1:])
+                    v = self.next().group(0)[1:]
+                    q.projections.append(("var", v))
+                    q.variables.append(v)
+                    continue
+                if t.group(0) == "(":
+                    self.next()
+                    item = self._select_binding()
+                    q.projections.append(item)
+                    q.variables.append(item[-1])
                     continue
                 break
         self.kw("WHERE")
         self.expect("{")
         self._group(q.patterns, q)
         # solution modifiers
+        if self.kw("GROUP"):
+            self.expect("BY")
+            while self.peek() is not None and self.peek().lastgroup == "var":
+                q.group_by.append(self.next().group(0)[1:])
+            if not q.group_by:
+                raise SparqlError("GROUP BY needs at least one ?var")
+        while self.kw("HAVING"):
+            q.having.append(self._filter_expr())
         if self.kw("ORDER"):
             self.expect("BY")
             while True:
@@ -218,7 +313,28 @@ class _P:
                     self._group(alt, q)
                     q.union.append(alt)
                 continue
-            if g.upper() in ("GRAPH", "MINUS", "SERVICE", "BIND", "VALUES"):
+            if g.upper() == "MINUS":
+                self.next()
+                self.expect("{")
+                sub2: list = []
+                self._group(sub2, q)
+                q.minus.append(sub2)
+                continue
+            if g.upper() == "BIND":
+                self.next()
+                self.expect("(")
+                expr = self._expr_until_as()
+                var = self.next()
+                if var.lastgroup != "var":
+                    raise SparqlError("BIND needs (expr AS ?var)")
+                self.expect(")")
+                q.binds.append((expr, var.group(0)[1:]))
+                continue
+            if g.upper() == "VALUES":
+                self.next()
+                q.values_clauses.append(self._values_clause())
+                continue
+            if g.upper() in ("GRAPH", "SERVICE"):
                 raise SparqlError(f"{g.upper()} not supported in this subset")
             s, p, o = self.term(), self.term(), self.term()
             patterns.append((s, p, o))
@@ -233,6 +349,120 @@ class _P:
                     break
                 p2, o2 = self.term(), self.term()
                 patterns.append((s, p2, o2))
+
+    def _select_binding(self):
+        """Inside '(' … ')': an aggregate or a generic expression with
+        an AS ?alias.  Returns a Query.projections entry."""
+        t = self.peek()
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        if (
+            t is not None
+            and t.group(0).upper() in _AGG_FNS
+            and nxt is not None
+            and nxt.group(0) == "("
+        ):
+            fn = self.next().group(0).upper()
+            self.expect("(")
+            distinct = bool(self.kw("DISTINCT"))
+            a = self.next()
+            if a.group(0) == "*":
+                arg = "*"
+                if distinct or fn != "COUNT":
+                    raise SparqlError(f"{fn}(*) only as COUNT(*)")
+            elif a.lastgroup == "var":
+                arg = a.group(0)[1:]
+            else:
+                raise SparqlError(f"aggregate arg must be ?var or *, got {a.group(0)!r}"
+                                  " (BIND the expression first)")
+            self.expect(")")
+            self.expect("AS")
+            alias = self.next()
+            if alias.lastgroup != "var":
+                raise SparqlError("aggregate needs AS ?alias")
+            self.expect(")")
+            return ("agg", fn, arg, distinct, alias.group(0)[1:])
+        expr = self._expr_until_as()
+        alias = self.next()
+        if alias.lastgroup != "var":
+            raise SparqlError("select expression needs AS ?alias")
+        self.expect(")")
+        return ("expr", expr, alias.group(0)[1:])
+
+    def _expr_until_as(self) -> str:
+        """Capture tokens (builtins rewritten, ?var → column) until the
+        top-level AS keyword, which is consumed."""
+        parts: list[str] = []
+        depth = 0
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("unterminated expression (missing AS)")
+            g = t.group(0)
+            if depth == 0 and g.upper() == "AS":
+                self.next()
+                break
+            if g == "(":
+                depth += 1
+            elif g == ")":
+                if depth == 0:
+                    raise SparqlError("expected AS before ')'")
+                depth -= 1
+            self.next()
+            parts.append(self._expr_token(t))
+        return _rewrite_builtins(" ".join(parts))
+
+    def _expr_token(self, t) -> str:
+        """One captured expression token → Spark SQL text: ?var → column
+        name, <iri> / pfx:local → quoted IRI string, rest verbatim."""
+        g = t.group(0)
+        if t.lastgroup == "var":
+            return g[1:]
+        if t.lastgroup == "iri":
+            return "'" + g[1:-1] + "'"
+        if t.group("str") is None and t.group("local") is not None:
+            pfx = t.group("pname") or ""
+            if pfx not in self.prefixes:
+                raise SparqlError(f"unknown prefix {pfx!r} in expression")
+            return "'" + self.prefixes[pfx] + t.group("local") + "'"
+        return g
+
+    def _values_clause(self):
+        """VALUES ?v { t … } | VALUES (?v ?w) { (t t) … } → (vars, rows)."""
+        t = self.peek()
+        if t is not None and t.group(0) == "(":
+            self.next()
+            vars_: list[str] = []
+            while self.peek() is not None and self.peek().lastgroup == "var":
+                vars_.append(self.next().group(0)[1:])
+            self.expect(")")
+        else:
+            v = self.next()
+            if v.lastgroup != "var":
+                raise SparqlError("VALUES needs ?var or (?v ?w …)")
+            vars_ = [v.group(0)[1:]]
+        self.expect("{")
+        rows: list[tuple] = []
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("unterminated VALUES block")
+            if t.group(0) == "}":
+                self.next()
+                break
+            if t.group(0).upper() == "UNDEF":
+                raise SparqlError("UNDEF not supported in VALUES")
+            if len(vars_) == 1:
+                rows.append((str(self.term()),))
+            else:
+                self.expect("(")
+                row = []
+                while self.peek() is not None and self.peek().group(0) != ")":
+                    row.append(str(self.term()))
+                self.expect(")")
+                if len(row) != len(vars_):
+                    raise SparqlError("VALUES row arity mismatch")
+                rows.append(tuple(row))
+        return (vars_, rows)
 
     def _filter_expr(self) -> str:
         """Capture the parenthesized FILTER body verbatim, translating
@@ -250,25 +480,59 @@ class _P:
                 depth -= 1
                 if depth == 0:
                     break
-            if t.lastgroup == "var":
-                parts.append(g[1:])
-            elif t.group("str") is not None:
-                parts.append(g)
-            else:
-                parts.append(g)
-        return " ".join(parts)
+            parts.append(self._expr_token(t))
+        return _rewrite_builtins(" ".join(parts))
 
 
 def parse(query: str) -> Query:
     return _P(query).parse()
 
 
+def _ensure_companions(df: DataFrame, expr: str) -> DataFrame:
+    """Add NULL/false typed-literal companion columns an expression
+    references but the pattern did not bind (e.g. lang() of a
+    BIND-created var) so Catalyst resolution never fails."""
+    for col in set(_COMP_RE.findall(expr)):
+        if col not in df.columns:
+            df = df.withColumn(
+                col,
+                F.lit(False) if col.endswith("__islit") else F.lit(None).cast("string"),
+            )
+    return df
+
+
+def _agg_column(fn: str, arg: str, distinct: bool, alias: str):
+    if fn == "COUNT":
+        if arg == "*":
+            e = F.count(F.lit(1))
+        elif distinct:
+            e = F.countDistinct(F.col(arg))
+        else:
+            e = F.count(F.col(arg))
+    elif fn == "SUM":
+        c = F.col(arg).cast("double")
+        e = F.sum_distinct(c) if distinct else F.sum(c)
+    elif fn == "AVG":
+        if distinct:
+            raise SparqlError("AVG(DISTINCT) not supported")
+        e = F.avg(F.col(arg).cast("double"))
+    elif fn == "MIN":
+        e = F.min(F.col(arg))
+    elif fn == "MAX":
+        e = F.max(F.col(arg))
+    else:  # pragma: no cover — parser restricts to _AGG_FNS
+        raise SparqlError(f"unknown aggregate {fn}")
+    return e.alias(alias)
+
+
 def execute(graph, query: str) -> DataFrame:
     """Run a SPARQL query against a VirtualGraph → DataFrame of bindings
     (ASK → single boolean column 'ask')."""
+    from ont_d2rq_spark.graph import _is_companion
+
     q = parse(query)
     if not q.union:
-        df = graph.bgp(q.patterns, filters=q.filters, optional=q.optional)
+        df = graph.bgp(q.patterns, optional=q.optional)
     else:
         # { A } UNION { B }: each alternative binds its own variables;
         # columns missing from one side become NULL (unbound)
@@ -280,18 +544,65 @@ def execute(graph, query: str) -> DataFrame:
         )
         if q.patterns:
             main = graph.bgp(q.patterns)
-            shared = [c for c in main.columns if c in df.columns]
+            shared = [
+                c for c in main.columns if c in df.columns and not _is_companion(c)
+            ]
+            df = df.drop(*[c for c in df.columns if _is_companion(c) and c in main.columns])
             df = main.join(df, on=shared, how="inner") if shared else main.crossJoin(df)
         for group in q.optional:
             sub = graph.bgp(group)
-            shared = [c for c in df.columns if c in sub.columns]
+            shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
+            sub = sub.drop(*[c for c in sub.columns if _is_companion(c) and c in df.columns])
             df = df.join(sub, on=shared, how="left") if shared else df.crossJoin(sub)
-        for f in q.filters:
-            df = df.filter(F.expr(f))
+
+    # VALUES: inline binding tables, broadcast-joined on shared vars
+    for vars_, rows in q.values_clauses:
+        vdf = graph.spark.createDataFrame(
+            rows, ", ".join(f"{v} string" for v in vars_)
+        )
+        shared = [c for c in df.columns if c in vars_]
+        df = (
+            df.join(F.broadcast(vdf), on=shared, how="inner")
+            if shared
+            else df.crossJoin(F.broadcast(vdf))
+        )
+    # BIND: new columns (evaluated before FILTERs, see module doc)
+    for expr, var in q.binds:
+        df = _ensure_companions(df, expr)
+        df = df.withColumn(var, F.expr(expr))
+    for f in q.filters:
+        df = _ensure_companions(df, f)
+        df = df.filter(F.expr(f))
+    # MINUS: anti-join on shared variables (no shared vars → no-op,
+    # per SPARQL MINUS semantics on disjoint domains)
+    for group in q.minus:
+        sub = graph.bgp(group)
+        shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
+        if shared:
+            df = df.join(sub.select(*shared), on=shared, how="left_anti")
+
     if q.form == "ASK":
         return graph.spark.createDataFrame([(not df.isEmpty(),)], "ask boolean")
+
+    # aggregation: GROUP BY keys + aggregate projections
+    aggs = [p for p in q.projections if p[0] == "agg"]
+    if aggs or q.group_by:
+        for _, name in (p for p in q.projections if p[0] == "var"):
+            if name not in q.group_by:
+                raise SparqlError(f"?{name} in SELECT must appear in GROUP BY")
+        agg_cols = [_agg_column(fn, a, d, al) for _, fn, a, d, al in aggs]
+        df = df.groupBy(*q.group_by).agg(*agg_cols) if q.group_by else df.agg(*agg_cols)
+        for h in q.having:
+            df = df.filter(F.expr(h))
+    # non-aggregate select expressions
+    for _, sql, alias in (p for p in q.projections if p[0] == "expr"):
+        df = _ensure_companions(df, sql)
+        df = df.withColumn(alias, F.expr(sql))
+
     if q.variables:
         df = df.select(*q.variables)
+    else:  # SELECT * — expose variables, not the companion metadata
+        df = df.select(*[c for c in df.columns if not _is_companion(c)])
     if q.distinct:
         df = df.distinct()
     if q.order_by:

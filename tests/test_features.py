@@ -395,6 +395,50 @@ def test_result_size_limit(spark, emp):
     assert g.triples(fuse=False).count() <= 4
 
 
+def test_large_translation_table_broadcast_join(spark):
+    """F5 at entity-linking scale: a 100k-entry dictionary must become a
+    broadcast dict-DataFrame join, NOT a 100k-literal create_map in the
+    plan (which would explode plan size / task binaries at 10M entries)."""
+    import pandas as pd
+
+    n = 100_000
+    big = {f"k{i}": f"{EX}v/{i}" for i in range(n)}
+    tables = {
+        "t": spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2, 3, 4], "code": ["k7", "k42", "k99999", "nope"]})
+        )
+    }
+    m = base_mapping()
+    m.translation_tables["big"] = TranslationTable(name="big", translations=big)
+    m.add_class_map(ClassMap(name="t", table="t", uri_pattern=EX + "t@@t.id@@"))
+    m.add_bridge(
+        PropertyBridge(
+            name="t.code",
+            belongs_to_class_map="t",
+            properties=[EX + "code"],
+            uri_column="t.code",
+            translate_with="big",
+        )
+    )
+    g = mk(spark, tables, m)
+    df = g.find(p=EX + "code")
+    got = rows(df)
+    assert got == {
+        (EX + "t1", EX + "code", EX + "v/7", None, None, False),
+        (EX + "t2", EX + "code", EX + "v/42", None, None, False),
+        (EX + "t3", EX + "code", EX + "v/99999", None, None, False),
+        # id 4: untranslatable → no triple
+    }
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the plan must not embed the dictionary as a create_map literal
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "create_map" not in logical
+    assert len(logical) < 200_000, f"plan too large: {len(logical)} chars"
+    # fused evaluation routes the bridge to the singles path — same rows
+    assert rows(g.triples(fuse=True).filter("pred = '%scode'" % EX)) == got
+
+
 def test_download_map(spark, emp):
     """DownloadMap (S7): fetch one row's content column by minted URI."""
     from ont_d2rq_spark.sources.download import download_content

@@ -109,9 +109,175 @@ def test_union(graph):
 
 def test_unsupported_raises():
     with pytest.raises(SparqlError):
-        parse("SELECT ?x WHERE { BIND(1 AS ?y) }")
+        parse("SELECT ?x WHERE { GRAPH <g> { ?s ?p ?x } }")
     with pytest.raises(SparqlError):
         parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlError):
+        parse("SELECT ?x WHERE { VALUES ?x { UNDEF } }")
+
+
+def test_group_by_aggregates(graph):
+    """GROUP BY + COUNT/COUNT DISTINCT + HAVING — the first analytics
+    query every real deployment runs (reference: free via ARQ)."""
+    df = execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?n (COUNT(*) AS ?cnt) (COUNT(DISTINCT ?c) AS ?nc) WHERE {
+            ?c a ex:Customer .
+            ?c ex:inNation ?n .
+        } GROUP BY ?n HAVING (cnt >= 2) ORDER BY ?n
+        """,
+    )
+    rows = df.collect()
+    assert rows and set(df.columns) == {"n", "cnt", "nc"}
+    assert all(r["cnt"] >= 2 and r["cnt"] == r["nc"] for r in rows)
+    assert sum(r["cnt"] for r in rows) <= 150
+
+
+def test_global_aggregate_sum_avg(graph):
+    df = execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT (COUNT(*) AS ?n) (SUM(?bal) AS ?total) (AVG(?bal) AS ?mean) WHERE {
+            ?c ex:acctbal ?bal .
+        }
+        """,
+    )
+    r = df.first()
+    assert r["n"] == 150
+    assert abs(r["total"] - r["mean"] * r["n"]) < 1e-6
+
+
+def test_bind_and_values(graph):
+    df = execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?name ?upper WHERE {
+            ?n a ex:Nation .
+            ?n ex:name ?name .
+            BIND (lower(?name) AS ?lower)
+            BIND (upper(?lower) AS ?upper)
+            VALUES ?name { "NATION_2" "NATION_5" "NO_SUCH" }
+            FILTER (bound(?upper))
+        } ORDER BY ?name
+        """,
+    )
+    rows = [(r["name"], r["upper"]) for r in df.collect()]
+    assert rows == [("NATION_2", "NATION_2"), ("NATION_5", "NATION_5")]
+
+
+def test_values_multi_var(graph):
+    df = execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?name ?tag WHERE {
+            ?n a ex:Nation . ?n ex:name ?name .
+            VALUES (?name ?tag) { ("NATION_1" "a") ("NATION_3" "b") }
+        } ORDER BY ?tag
+        """,
+    )
+    assert [(r["name"], r["tag"]) for r in df.collect()] == [
+        ("NATION_1", "a"),
+        ("NATION_3", "b"),
+    ]
+
+
+def test_minus(graph):
+    df = execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?r WHERE {
+            ?r a ex:Region .
+            MINUS { ?r ex:name "ASIA" . }
+        }
+        """,
+    )
+    assert df.count() == 4  # 5 regions minus ASIA
+
+
+def test_filter_lang_builtin(graph):
+    """lang() needs the typed-literal companions: only customer names
+    carry @en in the tpch mapping."""
+    en = execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?s ?name WHERE { ?s ex:name ?name . FILTER (lang(?name) = 'en') }
+        """,
+    )
+    rows = en.collect()
+    assert len(rows) == 150
+    assert all("/customer/" in r["s"] for r in rows)
+    none = execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?s WHERE { ?s ex:name ?name . FILTER (lang(?name) = '') }
+        """,
+    )
+    assert none.count() > 0 and all("/customer/" not in r["s"] for r in none.collect())
+
+
+def test_filter_datatype_str_regex(graph):
+    df = execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?c ?bal WHERE {
+            ?c ex:acctbal ?bal .
+            FILTER (datatype(?bal) = xsd:double)
+            FILTER (regex(str(?c), 'customer/[0-9]+$'))
+            FILTER (regex(?c, 'CUSTOMER', 'i'))
+        }
+        """,
+    )
+    assert df.count() == 150
+    empty = execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?bal WHERE { ?c ex:acctbal ?bal . FILTER (datatype(?bal) = xsd:string) }
+        """,
+    )
+    assert empty.count() == 0
+
+
+def test_typed_literal_term(graph):
+    """"lex"^^dt / "lex"@lang terms unify on datatype/lang, not just the
+    lexical form (TypedNodeMaker semantics)."""
+    # customer names are @en: a plain-lang match hits, a wrong lang misses
+    hit = execute(
+        graph,
+        'PREFIX ex: <http://example.org/> ASK WHERE { ?c ex:name "Customer#000000001"@en . }',
+    ).first()["ask"]
+    miss = execute(
+        graph,
+        'PREFIX ex: <http://example.org/> ASK WHERE { ?c ex:name "Customer#000000001"@fr . }',
+    ).first()["ask"]
+    assert hit and not miss
+
+
+def test_typed_find(graph):
+    """find() with datatype constraints prunes non-matching bridges."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    # acctbal literals are xsd:double → integer-typed find can't match
+    some = graph.find(p="http://example.org/acctbal").first()
+    val = some["obj"]
+    as_double = graph.find(o=val, o_datatype=XSD + "double")
+    as_int = graph.find(o=val, o_datatype=XSD + "integer")
+    assert as_double.count() >= 1
+    assert as_int.count() == 0
+    # lang-tagged lookup: only the @en name bridge matches
+    name = graph.find(p="http://example.org/name").filter("obj_lang = 'en'").first()["obj"]
+    assert graph.find(o=name, o_lang="en").count() >= 1
+    assert graph.find(o=name, o_lang="de").count() == 0
 
 
 def test_offset_and_distinct(graph):
