@@ -77,11 +77,30 @@ def main() -> None:
     # headline 5: north-star doc pipeline (synth → mentions → link → CC → KG)
     timed("pipeline_kg", lambda: QUERIES["pipeline_kg"](spark, sf_dir).count())
 
-    # headline 6: MinHash-LSH near-dup over documents
-    timed("minhash_dedup", lambda: QUERIES["minhash_dedup"](spark, sf_dir).count())
+    # headline 6: MinHash-LSH near-dup over documents — both hash
+    # families of the SAME pipeline: xxhash64 (fastest JVM path) and
+    # md5 (the DuckDB-replayable family the correctness gate checks)
+    from ont_d2rq_spark.operators.dedup import minhash_dedup
+    from ont_d2rq_spark.sources.tables import balanced_read
+
+    docs = balanced_read(spark, f"{sf_dir}/documents.parquet")
+    timed(
+        "minhash_dedup",
+        lambda: minhash_dedup(docs, threshold=0.5, hash_family="xxhash64").count(),
+    )
+    timed("minhash_dedup_md5", lambda: QUERIES["minhash_dedup"](spark, sf_dir).count())
 
     # headline 7: brute-force cosine top-k
     timed("similarity_topk", lambda: QUERIES["similarity_topk"](spark, sf_dir).count())
+
+    # headline 8: bucketed embedding near-dup (the scale path)
+    timed(
+        "embedding_near_dup_lsh",
+        lambda: QUERIES["embedding_near_dup_lsh"](spark, sf_dir).count(),
+    )
+
+    # headline 9: event sessionization (gaps-and-islands)
+    timed("sessionize", lambda: QUERIES["sessionize"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(

@@ -183,7 +183,15 @@ class MappingCompiler:
         for qcol, xsd in self.mapping.database.column_types.items():
             t, c = qcol.split(".", 1)
             if t == name and c in df.columns:
-                df = df.withColumn(c, F.col(c).cast(_XSD_CAST[xsd]))
+                if xsd == "char":
+                    # SQL CHAR(n) right-pad semantics (SURVEY §1.2 row 1;
+                    # reference: sql/types/SQLCharacterString trims via
+                    # JDBC metadata — parquet has no CHAR, so it's a
+                    # declared override here): strip trailing blanks at
+                    # the scan, before any pattern/translation logic
+                    df = df.withColumn(c, F.rtrim(F.col(c).cast("string")))
+                else:
+                    df = df.withColumn(c, F.col(c).cast(_XSD_CAST[xsd]))
         self._table_cache[name] = df
         return df
 

@@ -74,6 +74,18 @@ def _var_name(term) -> str:
     return term[1:] if isinstance(term, str) and term.startswith("?") else str(term)
 
 
+class PathPlus:
+    """SPARQL `pred+` property path: one-or-more hops of a single
+    predicate — evaluated as a distributed transitive closure
+    (operators/closure.py) over the predicate's edge set."""
+
+    def __init__(self, pred: str):
+        self.pred = pred
+
+    def __repr__(self):
+        return f"PathPlus({self.pred!r})"
+
+
 _COMPANION_SUFFIXES = ("__dt", "__lang", "__islit")
 
 
@@ -266,6 +278,64 @@ class VirtualGraph:
         return reduce(lambda a, b: a.unionByName(b), frames)
 
     # ------------------------------------------------------------------
+    def _pattern_frame(self, cb, constraints, post, s, p, o) -> DataFrame:
+        """One bridge's contribution to a pattern: variable columns +
+        typed-literal companions projected from the triple frame."""
+        df = self.compiler.bridge_df(cb, constraints, post)
+        sel, seen = [], {}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if term is not None and _is_var(term):
+                v = _var_name(term)
+                if v in seen:  # repeated var within one pattern
+                    df = df.filter(F.col(col) == F.col(seen[v]))
+                else:
+                    seen[v] = col
+                    sel.append(F.col(col).alias(v))
+                    # typed-literal companions: FILTER builtins
+                    # (lang/datatype) evaluate against these
+                    if col == "obj":
+                        sel += [
+                            F.col("obj_datatype").alias(f"{v}__dt"),
+                            F.col("obj_lang").alias(f"{v}__lang"),
+                            F.col("is_literal").alias(f"{v}__islit"),
+                        ]
+                    else:  # subjects/predicates are never literals
+                        sel += [
+                            F.lit(None).cast("string").alias(f"{v}__dt"),
+                            F.lit(None).cast("string").alias(f"{v}__lang"),
+                            F.lit(False).alias(f"{v}__islit"),
+                        ]
+        return df.select(*sel) if sel else df.limit(1).select(F.lit(1).alias("_m"))
+
+    def _closure_frame(self, s, pth: "PathPlus", o) -> DataFrame:
+        """`pred+` pattern → transitive closure of the predicate's edge
+        set with the s/o terms applied.  Literal objects appear only as
+        terminal nodes (they never match a subject); their datatype/lang
+        companions are not carried through the closure."""
+        from ont_d2rq_spark.operators.closure import transitive_closure
+
+        base = self.bgp([("?__cs", pth.pred, "?__co")]).select(
+            F.col("__cs").alias("src"), F.col("__co").alias("dst")
+        )
+        df = transitive_closure(base)
+        sel, seen = [], {}
+        for term, col in ((s, "src"), (o, "dst")):
+            if term is not None and _is_var(term):
+                v = _var_name(term)
+                if v in seen:
+                    df = df.filter(F.col(col) == F.col(seen[v]))
+                else:
+                    seen[v] = col
+                    sel.append(F.col(col).alias(v))
+                    sel += [
+                        F.lit(None).cast("string").alias(f"{v}__dt"),
+                        F.lit(None).cast("string").alias(f"{v}__lang"),
+                        F.lit(False).alias(f"{v}__islit"),
+                    ]
+            elif term is not None:
+                df = df.filter(F.col(col) == F.lit(str(term)))
+        return df.select(*sel) if sel else df.limit(1).select(F.lit(1).alias("_m"))
+
     def bgp(
         self,
         patterns: Sequence[tuple],
@@ -286,47 +356,32 @@ class VirtualGraph:
         list) left-joined on the shared variables — SPARQL OPTIONAL."""
         frames: list[DataFrame] = []
         for s, p, o in patterns:
+            if isinstance(p, PathPlus):
+                frames.append(self._closure_frame(s, p, o))
+                continue
+            # tuple predicate = SPARQL path alternation (p1|p2): a bridge
+            # matches if it can produce ANY of the alternatives
+            p_options = p if isinstance(p, tuple) else (p,)
             candidates = []
-            for cb in self.bridges:
-                constraints: dict = {}
-                post: list = []
-                try:
-                    for spec, term, col in (
-                        (cb.subject, s, "subj"),
-                        (cb.predicate, p, "pred"),
-                        (cb.object, o, "obj"),
-                    ):
-                        if term is not None and not _is_var(term):
-                            c, f = self._bind(cb, spec, term, col)
-                            constraints.update(c)
-                            post.extend(f)
-                except _Prune:
-                    continue
-                df = self.compiler.bridge_df(cb, constraints, post)
-                sel, seen = [], {}
-                for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
-                    if term is not None and _is_var(term):
-                        v = _var_name(term)
-                        if v in seen:  # repeated var within one pattern
-                            df = df.filter(F.col(col) == F.col(seen[v]))
-                        else:
-                            seen[v] = col
-                            sel.append(F.col(col).alias(v))
-                            # typed-literal companions: FILTER builtins
-                            # (lang/datatype) evaluate against these
-                            if col == "obj":
-                                sel += [
-                                    F.col("obj_datatype").alias(f"{v}__dt"),
-                                    F.col("obj_lang").alias(f"{v}__lang"),
-                                    F.col("is_literal").alias(f"{v}__islit"),
-                                ]
-                            else:  # subjects/predicates are never literals
-                                sel += [
-                                    F.lit(None).cast("string").alias(f"{v}__dt"),
-                                    F.lit(None).cast("string").alias(f"{v}__lang"),
-                                    F.lit(False).alias(f"{v}__islit"),
-                                ]
-                candidates.append(df.select(*sel) if sel else df.limit(1).select(F.lit(1).alias("_m")))
+            for popt in p_options:
+                for cb in self.bridges:
+                    constraints: dict = {}
+                    post: list = []
+                    try:
+                        for spec, term, col in (
+                            (cb.subject, s, "subj"),
+                            (cb.predicate, popt, "pred"),
+                            (cb.object, o, "obj"),
+                        ):
+                            if term is not None and not _is_var(term):
+                                c, f = self._bind(cb, spec, term, col)
+                                constraints.update(c)
+                                post.extend(f)
+                    except _Prune:
+                        continue
+                    candidates.append(
+                        self._pattern_frame(cb, constraints, post, s, popt, o)
+                    )
             if not candidates:
                 return self.spark.createDataFrame([], "dummy string").limit(0)
             frames.append(reduce(lambda a, b: a.unionByName(b), candidates))

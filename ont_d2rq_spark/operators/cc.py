@@ -77,16 +77,24 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 20,
     checkpoint: bool = True,
+    check_every: int = 1,
 ) -> DataFrame:
     """→ DataFrame(node, component) — component = min node id reachable.
 
     Nodes are whatever orderable type the edge columns carry (string
     URIs or longs).  Isolated nodes don't appear (no edges → themselves
     canonical); callers union them back if needed.
+
+    Barrier budget: ONE Spark job per iteration — the localCheckpoint is
+    LAZY and the convergence fingerprint's aggregate is the action that
+    materializes its blocks (an eager checkpoint plus a separate
+    fingerprint job would double the serial barrier count, which is
+    what dominates wall-clock for small/medium graphs).  ``check_every``
+    > 1 skips the fingerprint on intermediate rounds (lineage then
+    spans ≤ check_every rounds before truncation) at the risk of up to
+    check_every-1 extra rounds after the fixpoint.
     """
     e = _canon_edges(edges, src, dst)
-    if checkpoint:
-        e = e.localCheckpoint()
 
     def _sig(df):
         # set fingerprint: (count, sum of row hashes).  Both iterates are
@@ -101,16 +109,21 @@ def connected_components(
         ).first()
         return (r["n"], r["h"])
 
-    sig = _sig(e)
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    sig = _sig(e) if checkpoint else None  # materializes e's blocks
     for i in range(max_iterations):
         e2 = _small_star(_large_star(e))
         if checkpoint:
-            e2 = e2.localCheckpoint()
-        sig2 = _sig(e2)
-        e = e2
-        if sig2 == sig:
-            break
-        sig = sig2
+            e2 = e2.localCheckpoint(eager=False)
+        if (i + 1) % check_every == 0 or i == max_iterations - 1:
+            sig2 = _sig(e2)  # one action: materializes + fingerprints
+            e = e2
+            if sig2 == sig:
+                break
+            sig = sig2
+        else:
+            e = e2
     # closure: every node (including former hubs) → its min root
     comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = (

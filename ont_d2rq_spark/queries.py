@@ -863,6 +863,66 @@ FROM customer WHERE c_name IS NOT NULL
 """
 
 
+def q_sparql_path(spark, sf_dir):
+    """SPARQL property path (sequence): customer —inNation/inRegion/name→
+    region name, rewritten through fresh join variables at parse time."""
+    from ont_d2rq_spark.sparql import execute
+
+    g = _graph(spark, sf_dir)
+    return execute(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?rname WHERE {
+            ?c a ex:Customer .
+            ?c ex:inNation/ex:inRegion/ex:name ?rname .
+        }
+        """,
+    )
+
+
+SQL_SPARQL_PATH = """
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+       r_name AS rname
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IS NOT NULL
+"""
+
+
+def q_sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT: template instantiation over the path bindings →
+    a new triple graph (set semantics)."""
+    from ont_d2rq_spark.sparql import execute
+
+    g = _graph(spark, sf_dir)
+    return execute(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        CONSTRUCT { ?c ex:locatedIn ?r . } WHERE {
+            ?c a ex:Customer .
+            ?c ex:inNation/ex:inRegion ?r .
+        }
+        """,
+    )
+
+
+SQL_SPARQL_CONSTRUCT = """
+SELECT DISTINCT
+  'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+  'http://example.org/locatedIn' AS pred,
+  'http://example.org/region/' || CAST(r_regionkey AS VARCHAR) AS obj,
+  CAST(NULL AS VARCHAR) AS obj_datatype,
+  CAST(NULL AS VARCHAR) AS obj_lang,
+  FALSE AS is_literal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 def q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window aggregation over the events stream
     table — the batch shape of the Structured Streaming path (§2.9);
@@ -889,6 +949,47 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wind
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization over the events table (the batch
+    shape of the streaming session_window operator — §2.9/§2.11; the
+    same gap semantics runs under readStream via
+    streaming/sessionize.sessionize_stream)."""
+    from ont_d2rq_spark.streaming.sessionize import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    out = sessionize(e, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR CAST(epoch(ts) AS BIGINT)
+                   - CAST(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
 """
 
 
@@ -1439,7 +1540,10 @@ QUERIES = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
     "sparql_filter_lang": q_sparql_filter_lang,
+    "sparql_path": q_sparql_path,
+    "sparql_construct": q_sparql_construct,
     "events_windowed": q_events_windowed,
+    "sessionize": q_sessionize,
     "agg_count_distinct": q_agg_count_distinct,
     "corpus_prep": q_corpus_prep,
     "pattern_literal": q_pattern_literal,
@@ -1493,7 +1597,10 @@ def oracles() -> dict[str, str]:
         "sparql_select": SQL_SPARQL_SELECT,
         "sparql_agg": SQL_SPARQL_AGG,
         "sparql_filter_lang": SQL_SPARQL_FILTER_LANG,
+        "sparql_path": SQL_SPARQL_PATH,
+        "sparql_construct": SQL_SPARQL_CONSTRUCT,
         "events_windowed": SQL_EVENTS_WINDOWED,
+        "sessionize": SQL_SESSIONIZE,
         "agg_count_distinct": SQL_AGG_COUNT_DISTINCT,
         "corpus_prep": SQL_CORPUS_PREP,
         "pattern_literal": SQL_PATTERN_LITERAL,

@@ -12,6 +12,8 @@ gets the residual algebra free from ARQ, engine/QueryEngineD2RQ.java;
 here the residual ops are native DataFrame ops):
 
   PREFIX pfx: <iri>                         (any number)
+  CONSTRUCT { template triples } WHERE { ... }   → triple frame
+  DESCRIBE (?v ... | <iri> ...) [WHERE { ... }]  → triple frame
   SELECT [DISTINCT] (?v ... | (AGG(?v) AS ?a) | (expr AS ?a) | *) WHERE {
       triple patterns '.'-separated;  { A } UNION { B } groups;
       FILTER (<expr>)            — Spark-SQL booleans over vars plus the
@@ -35,8 +37,13 @@ Terms: <iri>, pfx:local, "literal" (@lang / ^^dt make the bound term a
 TYPED literal — datatype/lang must unify, TypedNodeMaker semantics),
 numbers, ?var / $var, and 'a' for rdf:type.
 
-Not supported (raise): property paths, subqueries, CONSTRUCT/DESCRIBE,
-GRAPH/SERVICE, UNDEF in VALUES.
+Property paths (predicate position): ^p inverse, p1/p2 sequence
+(rewritten through fresh join variables), p1|p2 alternation (union of
+bridge candidates), p+ one-or-more (distributed transitive closure,
+operators/closure.py).
+
+Not supported (raise): p* / p? path modifiers, nested path groups,
+subqueries, GRAPH/SERVICE, UNDEF in VALUES.
 """
 
 from __future__ import annotations
@@ -99,7 +106,7 @@ _TOK = re.compile(
   | (?P<num>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.%-]*)
   | (?P<kw>[A-Za-z_]+)
-  | (?P<op>>=|<=|!=|&&|\|\||[=<>+\-/!%])
+  | (?P<op>>=|<=|!=|&&|\|\||[=<>+\-/!%^|])
   | (?P<punct>[{}().;,*])
   | (?P<ws>\s+)
 """,
@@ -126,6 +133,8 @@ class Query:
     binds: list[tuple] = field(default_factory=list)  # (sql_expr, var)
     values_clauses: list[tuple] = field(default_factory=list)  # (vars, rows)
     minus: list[list[tuple]] = field(default_factory=list)
+    template: list[tuple] = field(default_factory=list)  # CONSTRUCT triples
+    describe: list[str] = field(default_factory=list)  # DESCRIBE nodes
 
 
 class SparqlError(ValueError):
@@ -145,6 +154,7 @@ class _P:
                 self.toks.append(m)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._fresh_n = 0
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -219,10 +229,23 @@ class _P:
             if not iri.startswith("<"):
                 raise SparqlError("PREFIX needs <iri>")
             self.prefixes[pfx] = iri[1:-1]
-        form = self.kw("SELECT", "ASK")
+        form = self.kw("SELECT", "ASK", "CONSTRUCT", "DESCRIBE")
         if not form:
-            raise SparqlError("only SELECT / ASK supported")
+            raise SparqlError("only SELECT / ASK / CONSTRUCT / DESCRIBE supported")
         q = Query(form=form)
+        if form == "CONSTRUCT":
+            self.expect("{")
+            self._template(q)
+        if form == "DESCRIBE":
+            while True:
+                t = self.peek()
+                if t is None or t.group(0).upper() == "WHERE" or t.group(0) == "{":
+                    break
+                q.describe.append(self.term())
+            if not q.describe:
+                raise SparqlError("DESCRIBE needs at least one node")
+            if self.peek() is None:  # DESCRIBE <iri> with no WHERE
+                return q
         if form == "SELECT":
             q.distinct = bool(self.kw("DISTINCT"))
             while True:
@@ -336,19 +359,102 @@ class _P:
                 continue
             if g.upper() in ("GRAPH", "SERVICE"):
                 raise SparqlError(f"{g.upper()} not supported in this subset")
-            s, p, o = self.term(), self.term(), self.term()
-            patterns.append((s, p, o))
+            s = self.term()
+            alts = self._path()
+            patterns.extend(self._expand_path(s, alts, self.term()))
             # object lists: s p o1 , o2
             while self.peek() is not None and self.peek().group(0) == ",":
                 self.next()
-                patterns.append((s, p, self.term()))
+                patterns.extend(self._expand_path(s, alts, self.term()))
             # predicate lists: s p1 o1 ; p2 o2
             while self.peek() is not None and self.peek().group(0) == ";":
                 self.next()
                 if self.peek() is not None and self.peek().group(0) in (".", "}"):
                     break
-                p2, o2 = self.term(), self.term()
-                patterns.append((s, p2, o2))
+                alts2 = self._path()
+                patterns.extend(self._expand_path(s, alts2, self.term()))
+
+    def _template(self, q: Query):
+        """CONSTRUCT template: plain s/p/o triples, '.'-separated."""
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("unterminated CONSTRUCT template")
+            if t.group(0) == "}":
+                self.next()
+                return
+            if t.group(0) == ".":
+                self.next()
+                continue
+            q.template.append(
+                (self._template_term(), self._template_term(), self._template_term())
+            )
+
+    def _template_term(self):
+        """Template terms must distinguish literal constants from IRIs —
+        force plain string literals into Lit so CONSTRUCT emits them as
+        literals."""
+        t = self.peek()
+        is_str = t is not None and t.group("str") is not None
+        term = self.term()
+        if is_str and not hasattr(term, "datatype"):
+            from ont_d2rq_spark.graph import Lit
+
+            term = Lit(term)
+        return term
+
+    # ---- property paths (pred position): ^inv, p1/p2 sequence,
+    #      p1|p2 alternation, p+ one-or-more ------------------------------
+    def _path_atom(self):
+        inv = False
+        if self.peek() is not None and self.peek().group(0) == "^":
+            self.next()
+            inv = True
+        t = self.term()
+        plus = False
+        if self.peek() is not None and self.peek().group(0) == "+":
+            self.next()
+            plus = True
+        return (t, inv, plus)
+
+    def _path(self):
+        """→ list of alternatives; each alternative a list of atoms
+        ('/' binds tighter than '|', per the SPARQL grammar)."""
+        alts = [[self._path_atom()]]
+        while self.peek() is not None and self.peek().group(0) in ("/", "|"):
+            op = self.next().group(0)
+            atom = self._path_atom()
+            if op == "/":
+                alts[-1].append(atom)
+            else:
+                alts.append([atom])
+        return alts
+
+    def _expand_path(self, s, alts, o) -> list:
+        """Path → plain triple patterns: sequences chain through fresh
+        variables, ^ swaps s/o, p+ becomes a PathPlus marker the BGP
+        compiler evaluates as a transitive closure."""
+        from ont_d2rq_spark.graph import PathPlus
+
+        if len(alts) == 1:
+            out = []
+            seq = alts[0]
+            cur = s
+            for i, (pred, inv, plus) in enumerate(seq):
+                self._fresh_n += 1
+                nxt = o if i == len(seq) - 1 else f"?__pp{self._fresh_n}"
+                subj, obj = (nxt, cur) if inv else (cur, nxt)
+                out.append((subj, PathPlus(pred) if plus else pred, obj))
+                cur = nxt
+            return out
+        preds = []
+        for seq in alts:
+            if len(seq) != 1 or seq[0][1] or seq[0][2]:
+                raise SparqlError(
+                    "path alternation supports plain predicates only (p1|p2)"
+                )
+            preds.append(seq[0][0])
+        return [(s, tuple(preds), o)]
 
     def _select_binding(self):
         """Inside '(' … ')': an aggregate or a generic expression with
@@ -525,12 +631,87 @@ def _agg_column(fn: str, arg: str, distinct: bool, alias: str):
     return e.alias(alias)
 
 
+def _construct_frame(df: DataFrame, template: list) -> DataFrame:
+    """CONSTRUCT: instantiate each template triple per binding row →
+    TRIPLE_SCHEMA-shaped frame, deduped (CONSTRUCT graphs are sets).
+    Rows with an unbound (NULL) template variable emit no triple."""
+    from functools import reduce as _reduce
+
+    from ont_d2rq_spark.graph import Lit, _is_var, _var_name
+
+    frames = []
+    for ts, tp, to in template:
+        def _node(term):
+            if _is_var(term):
+                return F.col(_var_name(term))
+            return F.lit(str(term))
+
+        if _is_var(to):
+            v = _var_name(to)
+            o_dt = F.col(f"{v}__dt") if f"{v}__dt" in df.columns else F.lit(None).cast("string")
+            o_lang = F.col(f"{v}__lang") if f"{v}__lang" in df.columns else F.lit(None).cast("string")
+            o_islit = F.col(f"{v}__islit") if f"{v}__islit" in df.columns else F.lit(False)
+        elif isinstance(to, Lit):
+            o_dt = F.lit(to.datatype).cast("string")
+            o_lang = F.lit(to.lang).cast("string")
+            o_islit = F.lit(True)
+        else:
+            o_dt, o_lang, o_islit = (
+                F.lit(None).cast("string"),
+                F.lit(None).cast("string"),
+                F.lit(False),
+            )
+        frames.append(
+            df.select(
+                _node(ts).cast("string").alias("subj"),
+                _node(tp).cast("string").alias("pred"),
+                _node(to).cast("string").alias("obj"),
+                o_dt.alias("obj_datatype"),
+                o_lang.alias("obj_lang"),
+                o_islit.cast("boolean").alias("is_literal"),
+            ).filter(
+                F.col("subj").isNotNull()
+                & F.col("pred").isNotNull()
+                & F.col("obj").isNotNull()
+            )
+        )
+    out = _reduce(lambda a, b: a.unionByName(b), frames)
+    return out.dropDuplicates(["subj", "pred", "obj", "obj_datatype", "obj_lang"])
+
+
+def _describe_frame(graph, df: Optional[DataFrame], nodes: list) -> DataFrame:
+    """DESCRIBE: all triples whose SUBJECT is a described node (the
+    simple outbound description; full CBD would chase bNodes — the
+    mapping mints stable bNode labels, so one hop suffices here)."""
+    from functools import reduce as _reduce
+
+    from ont_d2rq_spark.graph import _is_var, _var_name
+
+    frames = []
+    all_t = None
+    for term in nodes:
+        if _is_var(term):
+            if df is None:
+                raise SparqlError(f"DESCRIBE {term} needs a WHERE clause")
+            if all_t is None:
+                all_t = graph.triples(fuse=True)
+            vals = df.select(F.col(_var_name(term)).alias("subj")).distinct()
+            frames.append(all_t.join(F.broadcast(vals), "subj", "left_semi"))
+        else:
+            frames.append(graph.find(s=str(term)))
+    out = _reduce(lambda a, b: a.unionByName(b), frames)
+    return out.dropDuplicates(["subj", "pred", "obj", "obj_datatype", "obj_lang"])
+
+
 def execute(graph, query: str) -> DataFrame:
     """Run a SPARQL query against a VirtualGraph → DataFrame of bindings
-    (ASK → single boolean column 'ask')."""
+    (SELECT), a single boolean column 'ask' (ASK), or a
+    TRIPLE_SCHEMA-shaped frame (CONSTRUCT / DESCRIBE)."""
     from ont_d2rq_spark.graph import _is_companion
 
     q = parse(query)
+    if q.form == "DESCRIBE" and not q.patterns and not q.union:
+        return _describe_frame(graph, None, q.describe)
     if not q.union:
         df = graph.bgp(q.patterns, optional=q.optional)
     else:
@@ -583,6 +764,12 @@ def execute(graph, query: str) -> DataFrame:
 
     if q.form == "ASK":
         return graph.spark.createDataFrame([(not df.isEmpty(),)], "ask boolean")
+    if q.form == "CONSTRUCT":
+        out = _construct_frame(df, q.template)
+        return out.limit(q.limit) if q.limit is not None else out
+    if q.form == "DESCRIBE":
+        out = _describe_frame(graph, df, q.describe)
+        return out.limit(q.limit) if q.limit is not None else out
 
     # aggregation: GROUP BY keys + aggregate projections
     aggs = [p for p in q.projections if p[0] == "agg"]

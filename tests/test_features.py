@@ -439,6 +439,35 @@ def test_large_translation_table_broadcast_join(spark):
     assert rows(g.triples(fuse=True).filter("pred = '%scode'" % EX)) == got
 
 
+def test_char_column_rtrim(spark):
+    """'char' column-type override: CHAR(n) right-padding is trimmed at
+    the scan (SURVEY §1.2 row 1), so minted URIs/literals and bound
+    lookups see the logical value."""
+    import pandas as pd
+
+    tables = {
+        "t": spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2], "code": ["AB   ", "CD "]})
+        )
+    }
+    m = base_mapping()
+    m.database = Database(column_types={"t.code": "char"})
+    m.add_class_map(ClassMap(name="t", table="t", uri_pattern=EX + "t@@t.id@@"))
+    m.add_bridge(
+        PropertyBridge(
+            name="t.code",
+            belongs_to_class_map="t",
+            properties=[EX + "code"],
+            column="t.code",
+        )
+    )
+    g = mk(spark, tables, m)
+    assert {r["obj"] for r in g.find(p=EX + "code").collect()} == {"AB", "CD"}
+    # bound lookup on the TRIMMED value works (pushed equality)
+    assert g.find(p=EX + "code", o="AB").count() == 1
+    assert g.find(p=EX + "code", o="AB   ").count() == 0
+
+
 def test_download_map(spark, emp):
     """DownloadMap (S7): fetch one row's content column by minted URI."""
     from ont_d2rq_spark.sources.download import download_content

@@ -110,8 +110,8 @@ def test_union(graph):
 def test_unsupported_raises():
     with pytest.raises(SparqlError):
         parse("SELECT ?x WHERE { GRAPH <g> { ?s ?p ?x } }")
-    with pytest.raises(SparqlError):
-        parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlError):  # mixed alternation branches
+        parse("PREFIX ex: <http://e/> SELECT ?x WHERE { ?x ex:a/ex:b|ex:c ?y }")
     with pytest.raises(SparqlError):
         parse("SELECT ?x WHERE { VALUES ?x { UNDEF } }")
 
@@ -278,6 +278,122 @@ def test_typed_find(graph):
     name = graph.find(p="http://example.org/name").filter("obj_lang = 'en'").first()["obj"]
     assert graph.find(o=name, o_lang="en").count() >= 1
     assert graph.find(o=name, o_lang="de").count() == 0
+
+
+def test_property_path_sequence_and_inverse(graph):
+    seq = execute(
+        graph,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?c ?rname WHERE {
+            ?c a ex:Customer .
+            ?c ex:inNation/ex:inRegion/ex:name ?rname .
+        }""",
+    )
+    rows = seq.collect()
+    assert len(rows) == 150 and all(r["rname"].isupper() for r in rows)
+    inv = execute(
+        graph,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?n WHERE { ?r ex:name "ASIA" . ?r ^ex:inRegion/^ex:inNation ?n . FILTER(?n like '%customer%') }""",
+    )
+    direct = execute(
+        graph,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?n WHERE { ?n ex:inNation/ex:inRegion ?r . ?r ex:name "ASIA" . FILTER(?n like '%customer%') }""",
+    )
+    assert {r["n"] for r in inv.collect()} == {r["n"] for r in direct.collect()} != set()
+
+
+def test_property_path_alternation(graph):
+    df = execute(
+        graph,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x ?v WHERE {
+            ?x a ex:Region .
+            ?x ex:name|ex:comment ?v .
+        }""",
+    )
+    # regions have names; no comment bridge exists → same as plain name
+    assert df.count() == 5
+
+
+def test_property_path_plus_closure(spark):
+    """p+ transitive closure on an employee boss chain: 3 → 2 → 1."""
+    import pandas as pd
+
+    from ont_d2rq_spark.examples import tpch_mapping  # noqa: F401
+    from ont_d2rq_spark.mapping.model import ClassMap, Configuration, Join, Mapping, PropertyBridge
+    from ont_d2rq_spark.graph import VirtualGraph
+
+    EX2 = "http://f/"
+    emp = {
+        "emp": spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2, 3], "boss": [None, 1, 2]}).astype(
+                {"boss": "Int64"}
+            )
+        )
+    }
+    m = Mapping(configuration=Configuration(serve_vocabulary=False))
+    m.add_class_map(ClassMap(name="emp", table="emp", uri_pattern=EX2 + "e@@emp.id@@"))
+    m.add_bridge(
+        PropertyBridge(
+            name="emp.boss",
+            belongs_to_class_map="emp",
+            properties=[EX2 + "boss"],
+            uri_pattern=EX2 + "e@@emp.boss@@",
+        )
+    )
+    g = VirtualGraph(m, spark, extra_tables=emp)
+    df = execute(
+        g,
+        f"""PREFIX f: <{EX2}>
+        SELECT ?a ?b WHERE {{ ?a f:boss+ ?b . }}""",
+    )
+    got = {(r["a"], r["b"]) for r in df.collect()}
+    e = lambda i: f"{EX2}e{i}"
+    assert got == {
+        (e(2), e(1)),
+        (e(3), e(2)),
+        (e(3), e(1)),  # the transitive hop a plain BGP cannot produce
+    }
+
+
+def test_construct(graph):
+    df = execute(
+        graph,
+        """PREFIX ex: <http://example.org/>
+        CONSTRUCT {
+            ?c ex:locatedIn ?r .
+            ?c ex:flag "checked" .
+        } WHERE {
+            ?c a ex:Customer .
+            ?c ex:inNation/ex:inRegion ?r .
+        }""",
+    )
+    rows = df.collect()
+    assert set(df.columns) == {
+        "subj", "pred", "obj", "obj_datatype", "obj_lang", "is_literal"
+    }
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r["pred"], []).append(r)
+    assert len(by_pred["http://example.org/locatedIn"]) == 150
+    flags = by_pred["http://example.org/flag"]
+    assert len(flags) == 150 and all(r["is_literal"] and r["obj"] == "checked" for r in flags)
+
+
+def test_describe(graph):
+    d1 = execute(graph, "DESCRIBE <http://example.org/customer/7>")
+    subj = {r["subj"] for r in d1.collect()}
+    assert subj == {"http://example.org/customer/7"} and d1.count() >= 5
+    d2 = execute(
+        graph,
+        """PREFIX ex: <http://example.org/>
+        DESCRIBE ?r WHERE { ?r a ex:Region . }""",
+    )
+    assert {r["subj"] for r in d2.collect()} == {
+        f"http://example.org/region/{i}" for i in range(5)
+    }
 
 
 def test_offset_and_distinct(graph):
