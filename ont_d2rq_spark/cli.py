@@ -5,11 +5,15 @@
   generate-mapping  auto-write a mapping from table schemas
                     (reference: generate-mapping / MappingGenerator)
   validate          parse + validate a mapping, print the compiled plan
+  sparql            run a SPARQL query over the virtual graph
+                    (reference: d2r-query tool)
 
 Usage:
   python -m ont_d2rq_spark.cli dump-rdf -m mapping.ttl -d /data/sf0.1 -o /out/nt
   python -m ont_d2rq_spark.cli generate-mapping -d /data/sf0.1 -t customer,nation -o map.ttl
   python -m ont_d2rq_spark.cli validate -m mapping.yaml -d /data/sf0.1
+  python -m ont_d2rq_spark.cli sparql -m mapping.ttl -d /data/sf0.1 \\
+      -q 'SELECT ?s ?o WHERE { ?s <http://example.org/name> ?o } LIMIT 5'
 """
 
 from __future__ import annotations
@@ -56,6 +60,15 @@ def main(argv=None) -> int:
     p_val.add_argument("-m", "--mapping", required=True)
     p_val.add_argument("-d", "--base-dir", default=None)
 
+    p_q = sub.add_parser("sparql", help="run a SPARQL query (d2r-query analogue)")
+    p_q.add_argument("-m", "--mapping", required=True)
+    p_q.add_argument("-d", "--base-dir", required=True)
+    p_q.add_argument("-q", "--query", help="inline query text")
+    p_q.add_argument("-f", "--query-file", help="read the query from a file")
+    p_q.add_argument("-o", "--out", help="write full result as parquet instead of printing")
+    p_q.add_argument("--limit", type=int, default=100, help="max rows printed (stdout mode)")
+    p_q.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "validate":
@@ -85,6 +98,24 @@ def main(argv=None) -> int:
 
             materialize_triples(triples, args.out)
         print(f"dumped → {args.out}")
+        return 0
+
+    if args.cmd == "sparql":
+        from ont_d2rq_spark.graph import VirtualGraph
+        from ont_d2rq_spark.sparql import execute
+
+        if not args.query and not args.query_file:
+            ap.error("sparql needs -q or -f")
+        qtext = args.query or open(args.query_file).read()
+        g = VirtualGraph(_load_mapping(args.mapping, args.base_dir), spark)
+        df = execute(g, qtext)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"result → {args.out}")
+        else:
+            print("\t".join(df.columns))
+            for row in df.limit(args.limit).collect():
+                print("\t".join("" if v is None else str(v) for v in row))
         return 0
 
     if args.cmd == "generate-mapping":

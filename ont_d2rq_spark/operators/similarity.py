@@ -181,6 +181,98 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_centroids(
+    dim: int, n_centroids: int, salt: str = "ivf", scale: int = 250_000
+) -> list:
+    """Deterministic integer centroids (md5-derived components in
+    {-3..3}·scale, matching the round(x·10⁶) embedding quantization).
+    In production the centroids come from an offline k-means over a
+    sample; these fixtures keep the partition reproducible anywhere —
+    including the DuckDB oracle.  IVF correctness never depends on
+    centroid quality, only recall does."""
+    cents = []
+    for c in range(n_centroids):
+        comps = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{salt}:{c}:{d}".encode()).hexdigest()[:4], 16)
+            comps.append((h % 7 - 3) * scale)
+        cents.append(comps)
+    return cents
+
+
+def _cell_dists(qcol, cents):
+    """array<struct<dist, idx>> of squared-L2 distances to every
+    centroid — exact integer arithmetic (≤ (4·10⁶)²·64 < 2⁶³)."""
+    entries = []
+    for i, comps in enumerate(cents):
+        cvec = F.array(*[F.lit(x).cast("long") for x in comps])
+        dist = F.aggregate(
+            F.zip_with(qcol, cvec, lambda a, c: (a - c) * (a - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(dist.alias("dist"), F.lit(i).alias("idx")))
+    return F.array(*entries)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list = None,
+) -> DataFrame:
+    """IVF ANN: corpus vectors partition into their NEAREST centroid's
+    cell (one integer argmin per vector, codegen'd); each query probes
+    its ``n_probe`` nearest cells; exact cosine re-ranks the union of
+    those cells.  Recall/cost knob: n_probe/n_centroids.
+
+    100 TB shape: the cell id is a partitioning key — the corpus can be
+    written bucketed by cell so a query probe reads only its cells'
+    files; the join here is the in-memory equivalent.  Pass k-means
+    ``centroids`` (list of int lists, same 10⁶ quantization) in
+    production."""
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_centroids)
+    nearest = lambda q: F.array_min(_cell_dists(q, cents))["idx"]
+    c_cells = corpus.select(
+        F.col(id_col).alias("id"), nearest(quantized(F.col(vec_col))).alias("cell")
+    )
+    probes = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cell_dists(quantized(F.col(vec_col)), cents)), 1, n_probe),
+                lambda s: s["idx"],
+            )
+        ).alias("cell"),
+    )
+    cand = (
+        c_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("q_id"))
+        .select("q_id", "id")
+        .distinct()
+    )
+    cv = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("id_v"))
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), _as_double(vec_col).alias("q_v"))
+    )
+    scored = (
+        cand.join(cv, "id")
+        .join(qv, "q_id")
+        .select(
+            "q_id",
+            "id",
+            F.round(cosine(F.col("id_v"), F.col("q_v")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     dim: int,

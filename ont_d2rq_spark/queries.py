@@ -1401,6 +1401,65 @@ SELECT q_id, id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the 'IVF variant' the brief names): corpus partitions
+    into nearest-centroid cells, queries probe their 4 nearest of 16
+    cells, exact cosine re-ranks.  Deterministic integer centroids →
+    the oracle replays the identical partition."""
+    from ont_d2rq_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = ivf_topk(e, q, dim=64, k=5, n_centroids=16, n_probe=4)
+    return out.select("q_id", "id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+
+
+def sql_ann_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """DuckDB replay: dist(q, c) = q·q − 2·q·c + c·c (exact — all
+    integer-valued, < 2⁵³, so double arithmetic is lossless)."""
+    from ont_d2rq_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, n_centroids)
+    ds = ",\n      ".join(
+        "{'dist': qq - 2*list_dot_product(q, %s) + %d, 'idx': %d}"
+        % (c, sum(x * x for x in c), i)
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         [CAST(ROUND(x * 1000000, 0) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+dists AS (
+  SELECT vec_id, v, list_dot_product(q, q) AS qq,
+         [
+      {ds}
+         ] AS ds
+  FROM e
+),
+cells AS (SELECT vec_id, list_sort(ds)[1].idx AS cell FROM dists),
+probes AS (
+  SELECT vec_id AS q_id, unnest([s.idx FOR s IN list_sort(ds)[1:{n_probe}]]) AS cell
+  FROM dists WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT p.q_id, c.vec_id AS id
+  FROM cells c JOIN probes p USING (cell) WHERE c.vec_id <> p.q_id
+),
+scored AS (
+  SELECT q_id, id,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM cand JOIN e a ON a.vec_id = cand.id JOIN e b ON b.vec_id = cand.q_id
+)
+SELECT q_id, id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """The SCALE path for embedding near-dup: LSH-bucketed candidates
     (no all-pairs product), exact cosine verification.  Oracle replays
@@ -1560,6 +1619,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_near_dup": q_simhash_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "media_decode": q_media_decode,
     "pipeline_kg": q_pipeline_kg,
 }
@@ -1617,6 +1677,7 @@ def oracles() -> dict[str, str]:
         "minhash_dedup": sql_minhash_dedup(),
         "simhash_near_dup": sql_simhash_near_dup(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
+        "ann_ivf_topk": sql_ann_ivf_topk(),
         "media_decode": SQL_MEDIA_DECODE,
         "pipeline_kg": SQL_PIPELINE_KG,
     }

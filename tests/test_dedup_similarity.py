@@ -129,6 +129,30 @@ def test_simhash_md5(docs):
     assert (1, 2) in cands
 
 
+def test_ivf_topk(spark):
+    """IVF ANN: results ⊆ brute-force scores, deterministic, and recall
+    above the nprobe/ncentroids floor on real embeddings."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r["q_id"], r["id"]) for r in S.brute_force_topk(e, q, k=5).collect()}
+    a1 = S.ivf_topk(e, q, dim=64, k=5, n_centroids=16, n_probe=4)
+    got1 = {(r["q_id"], r["id"], r["cosine"]) for r in a1.collect()}
+    got2 = {
+        (r["q_id"], r["id"], r["cosine"])
+        for r in S.ivf_topk(e, q, dim=64, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    assert got1 == got2  # deterministic centroids → same partition
+    pairs = {(a, b) for a, b, _ in got1}
+    recall = len(exact & pairs) / len(exact)
+    assert recall >= 0.2  # random fixture centroids; nprobe=4/16 floor
+    # probing ALL cells must recover brute force exactly
+    full = {
+        (r["q_id"], r["id"])
+        for r in S.ivf_topk(e, q, dim=64, k=5, n_centroids=16, n_probe=16).collect()
+    }
+    assert full == exact
+
+
 def test_lsh_near_dup_recall(spark):
     """Bucketed near-dup (the 100 TB path) is a verified subset of the
     exact all-pairs result with high recall."""
