@@ -24,6 +24,7 @@ here the residual ops are native DataFrame ops):
       MINUS { triple patterns }  — anti-join on the shared variables
       BIND (<expr> AS ?v)
       VALUES ?v { t1 t2 ... } | VALUES (?v ?w) { (t1 t2) ... }
+      { SELECT ... WHERE { ... } ... }  — subquery, joined on shared vars
   }
   [GROUP BY ?v ...] [HAVING (<expr over aliases>) ...]
   [ORDER BY [ASC|DESC](?v) ...] [LIMIT n] [OFFSET n]
@@ -43,7 +44,7 @@ bridge candidates), p+ one-or-more (distributed transitive closure,
 operators/closure.py).
 
 Not supported (raise): p* / p? path modifiers, nested path groups,
-subqueries, GRAPH/SERVICE, UNDEF in VALUES.
+GRAPH/SERVICE, UNDEF in VALUES.
 """
 
 from __future__ import annotations
@@ -135,6 +136,7 @@ class Query:
     minus: list[list[tuple]] = field(default_factory=list)
     template: list[tuple] = field(default_factory=list)  # CONSTRUCT triples
     describe: list[str] = field(default_factory=list)  # DESCRIBE nodes
+    subqueries: list["Query"] = field(default_factory=list)
 
 
 class SparqlError(ValueError):
@@ -247,30 +249,38 @@ class _P:
             if self.peek() is None:  # DESCRIBE <iri> with no WHERE
                 return q
         if form == "SELECT":
-            q.distinct = bool(self.kw("DISTINCT"))
-            while True:
-                t = self.peek()
-                if t is None:
-                    raise SparqlError("missing WHERE")
-                if t.group(0) == "*":
-                    self.next()
-                    break
-                if t.lastgroup == "var":
-                    v = self.next().group(0)[1:]
-                    q.projections.append(("var", v))
-                    q.variables.append(v)
-                    continue
-                if t.group(0) == "(":
-                    self.next()
-                    item = self._select_binding()
-                    q.projections.append(item)
-                    q.variables.append(item[-1])
-                    continue
-                break
+            self._select_clause(q)
         self.kw("WHERE")
         self.expect("{")
         self._group(q.patterns, q)
-        # solution modifiers
+        self._modifiers(q)
+        return q
+
+    def _select_clause(self, q: Query):
+        """SELECT [DISTINCT] projection list (after SELECT consumed)."""
+        q.distinct = bool(self.kw("DISTINCT"))
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("missing WHERE")
+            if t.group(0) == "*":
+                self.next()
+                break
+            if t.lastgroup == "var":
+                v = self.next().group(0)[1:]
+                q.projections.append(("var", v))
+                q.variables.append(v)
+                continue
+            if t.group(0) == "(":
+                self.next()
+                item = self._select_binding()
+                q.projections.append(item)
+                q.variables.append(item[-1])
+                continue
+            break
+
+    def _modifiers(self, q: Query):
+        """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET."""
         if self.kw("GROUP"):
             self.expect("BY")
             while self.peek() is not None and self.peek().lastgroup == "var":
@@ -299,7 +309,6 @@ class _P:
             q.limit = int(self.next().group(0))
         if self.kw("OFFSET"):
             q.offset = int(self.next().group(0))
-        return q
 
     def _group(self, patterns: list, q: Query):
         while True:
@@ -325,8 +334,22 @@ class _P:
                 q.optional.append(sub)
                 continue
             if g == "{":
-                # group — only the { A } UNION { B } [UNION { C }] form
                 self.next()
+                nxt = self.peek()
+                if nxt is not None and nxt.group(0).upper() == "SELECT":
+                    # subquery: { SELECT ... WHERE { ... } modifiers } —
+                    # evaluated independently, joined on shared variables
+                    self.next()
+                    sub = Query(form="SELECT")
+                    self._select_clause(sub)
+                    self.kw("WHERE")
+                    self.expect("{")
+                    self._group(sub.patterns, sub)
+                    self._modifiers(sub)
+                    self.expect("}")
+                    q.subqueries.append(sub)
+                    continue
+                # group — the { A } UNION { B } [UNION { C }] form
                 first: list = []
                 self._group(first, q)
                 q.union.append(first)
@@ -707,13 +730,16 @@ def execute(graph, query: str) -> DataFrame:
     """Run a SPARQL query against a VirtualGraph → DataFrame of bindings
     (SELECT), a single boolean column 'ask' (ASK), or a
     TRIPLE_SCHEMA-shaped frame (CONSTRUCT / DESCRIBE)."""
+    return _execute_query(graph, parse(query))
+
+
+def _execute_query(graph, q: Query) -> DataFrame:
     from ont_d2rq_spark.graph import _is_companion
 
-    q = parse(query)
     if q.form == "DESCRIBE" and not q.patterns and not q.union:
         return _describe_frame(graph, None, q.describe)
     if not q.union:
-        df = graph.bgp(q.patterns, optional=q.optional)
+        df = graph.bgp(q.patterns, optional=q.optional) if q.patterns else None
     else:
         # { A } UNION { B }: each alternative binds its own variables;
         # columns missing from one side become NULL (unbound)
@@ -735,6 +761,17 @@ def execute(graph, query: str) -> DataFrame:
             shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
             sub = sub.drop(*[c for c in sub.columns if _is_companion(c) and c in df.columns])
             df = df.join(sub, on=shared, how="left") if shared else df.crossJoin(sub)
+
+    # subqueries evaluate independently, join on shared variables
+    for sub in q.subqueries:
+        sdf = _execute_query(graph, sub)
+        if df is None:
+            df = sdf
+        else:
+            shared = [c for c in df.columns if c in sdf.columns and not _is_companion(c)]
+            df = df.join(sdf, on=shared, how="inner") if shared else df.crossJoin(sdf)
+    if df is None:  # empty group = one empty solution (SPARQL algebra)
+        df = graph.spark.range(1).select(F.lit(1).alias("_m"))
 
     # VALUES: inline binding tables, broadcast-joined on shared vars
     for vars_, rows in q.values_clauses:
@@ -788,8 +825,8 @@ def execute(graph, query: str) -> DataFrame:
 
     if q.variables:
         df = df.select(*q.variables)
-    else:  # SELECT * — expose variables, not the companion metadata
-        df = df.select(*[c for c in df.columns if not _is_companion(c)])
+    else:  # SELECT * — expose variables, not companion/marker columns
+        df = df.select(*[c for c in df.columns if not _is_companion(c) and c != "_m"])
     if q.distinct:
         df = df.distinct()
     if q.order_by:

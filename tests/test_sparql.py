@@ -396,6 +396,24 @@ def test_describe(graph):
     }
 
 
+def test_subquery(graph):
+    """{ SELECT ... } subquery: inner aggregate joined to the outer
+    pattern on the shared variable."""
+    df = execute(
+        graph,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?name ?ncust WHERE {
+            ?n a ex:Nation . ?n ex:name ?name .
+            { SELECT ?n (COUNT(*) AS ?ncust) WHERE {
+                ?c a ex:Customer . ?c ex:inNation ?n .
+              } GROUP BY ?n }
+        } ORDER BY ?name""",
+    )
+    rows = df.collect()
+    assert rows and sum(r["ncust"] for r in rows) == 150
+    assert all(r["ncust"] >= 1 for r in rows)
+
+
 def test_offset_and_distinct(graph):
     all_rows = execute(
         graph,
