@@ -278,6 +278,94 @@ class VirtualGraph:
         return reduce(lambda a, b: a.unionByName(b), frames)
 
     # ------------------------------------------------------------------
+    # join-compatibility pruning (find/URIMakerRule.java): when two
+    # patterns share a variable, candidate relations whose node makers
+    # can NEVER mint the same node are dropped at plan time — the scan
+    # for ?c ex:inNation ?n never touches the supplier table when
+    # another pattern pins ?c to customer URIs.
+    # ------------------------------------------------------------------
+    _LIT_KINDS = frozenset({"literal_column", "literal_pattern", "literal_expr"})
+
+    def _is_literal_spec(self, spec: NodeSpec) -> bool:
+        return spec.kind in self._LIT_KINDS or (
+            spec.kind == "constant" and spec.is_literal
+        )
+
+    def _uri_prefix(self, spec: NodeSpec):
+        """(fixed prefix, is_exact) of every URI the spec mints, or None
+        when opaque (uri_column / uri_expr / translated values)."""
+        if spec.kind == "constant":
+            return spec.constant, True
+        if spec.kind == "uri_pattern" and spec.translate is None:
+            p0 = spec.pattern.parts[0]
+            return (p0 if isinstance(p0, str) else ""), spec.pattern.is_constant
+        return None
+
+    def _join_compatible(self, a: NodeSpec, cb_a, b: NodeSpec, cb_b) -> bool:
+        """Can specs a and b ever produce the SAME node?  False only
+        when provably disjoint (prefix mismatch, literal vs URI, typed
+        literal disagreement, different bnode relations)."""
+        a_lit, b_lit = self._is_literal_spec(a), self._is_literal_spec(b)
+        if a_lit != b_lit:
+            return False
+        if a_lit:
+            _, dt_a, la = self._literal_meta(cb_a, a)
+            _, dt_b, lb = self._literal_meta(cb_b, b)
+            return (la or "").lower() == (lb or "").lower() and dt_a == dt_b
+        a_bn, b_bn = a.kind == "bnode", b.kind == "bnode"
+        if a_bn or b_bn:
+            if a_bn and b_bn:
+                return a.bnode_name == b.bnode_name
+            pref = self._uri_prefix(b if a_bn else a)
+            return pref is None or pref[0].startswith("_:")
+        pa, pb = self._uri_prefix(a), self._uri_prefix(b)
+        if pa is None or pb is None:
+            return True
+        (sa, ea), (sb, eb) = pa, pb
+        if ea and eb:
+            return sa == sb
+        if ea:
+            return sa.startswith(sb)
+        if eb:
+            return sb.startswith(sa)
+        shorter, longer = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
+        return longer.startswith(shorter)
+
+    def _prune_join_incompatible(self, meta: dict) -> None:
+        """Fixpoint: a candidate survives only if, for every variable it
+        shares with another pattern, SOME candidate of that pattern is
+        join-compatible on that variable."""
+        var_home: dict[str, set] = {}
+        for idx, cands in meta.items():
+            for c in cands:
+                for v in c["varspecs"]:
+                    var_home.setdefault(v, set()).add(idx)
+        changed = True
+        while changed:
+            changed = False
+            for idx in list(meta):
+                keep = []
+                for c in meta[idx]:
+                    ok = True
+                    for v, spec in c["varspecs"].items():
+                        for j in var_home.get(v, ()):
+                            if j == idx or not meta[j]:
+                                continue
+                            if not any(
+                                self._join_compatible(spec, c["cb"], o["varspecs"][v], o["cb"])
+                                for o in meta[j]
+                                if v in o["varspecs"]
+                            ):
+                                ok = False
+                                break
+                        if not ok:
+                            break
+                    if ok:
+                        keep.append(c)
+                if len(keep) != len(meta[idx]):
+                    meta[idx] = keep
+                    changed = True
+
     def _pattern_frame(self, cb, constraints, post, s, p, o) -> DataFrame:
         """One bridge's contribution to a pattern: variable columns +
         typed-literal companions projected from the triple frame."""
@@ -354,15 +442,16 @@ class VirtualGraph:
         same subset to SQL via TransformExprToSQLApplyer).
         ``optional``: a list of OPTIONAL groups (each its own pattern
         list) left-joined on the shared variables — SPARQL OPTIONAL."""
-        frames: list[DataFrame] = []
-        for s, p, o in patterns:
+        closure_frames: dict[int, DataFrame] = {}
+        meta: dict[int, list] = {}
+        for idx, (s, p, o) in enumerate(patterns):
             if isinstance(p, PathPlus):
-                frames.append(self._closure_frame(s, p, o))
+                closure_frames[idx] = self._closure_frame(s, p, o)
                 continue
             # tuple predicate = SPARQL path alternation (p1|p2): a bridge
             # matches if it can produce ANY of the alternatives
             p_options = p if isinstance(p, tuple) else (p,)
-            candidates = []
+            cands = []
             for popt in p_options:
                 for cb in self.bridges:
                     constraints: dict = {}
@@ -379,12 +468,45 @@ class VirtualGraph:
                                 post.extend(f)
                     except _Prune:
                         continue
-                    candidates.append(
-                        self._pattern_frame(cb, constraints, post, s, popt, o)
+                    varspecs = {}
+                    for spec, term in (
+                        (cb.subject, s),
+                        (cb.predicate, popt),
+                        (cb.object, o),
+                    ):
+                        if term is not None and _is_var(term):
+                            varspecs.setdefault(_var_name(term), spec)
+                    cands.append(
+                        {
+                            "cb": cb,
+                            "constraints": constraints,
+                            "post": post,
+                            "popt": popt,
+                            "varspecs": varspecs,
+                        }
                     )
-            if not candidates:
+            meta[idx] = cands
+        self._prune_join_incompatible(meta)
+
+        frames: list[DataFrame] = []
+        for idx, (s, p, o) in enumerate(patterns):
+            if idx in closure_frames:
+                frames.append(closure_frames[idx])
+                continue
+            cands = meta[idx]
+            if not cands:
                 return self.spark.createDataFrame([], "dummy string").limit(0)
-            frames.append(reduce(lambda a, b: a.unionByName(b), candidates))
+            frames.append(
+                reduce(
+                    lambda a, b: a.unionByName(b),
+                    [
+                        self._pattern_frame(
+                            c["cb"], c["constraints"], c["post"], s, c["popt"], o
+                        )
+                        for c in cands
+                    ],
+                )
+            )
 
         def _merge(left, right, how):
             # join on the VARIABLE columns only; companion columns are

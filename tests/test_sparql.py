@@ -396,6 +396,29 @@ def test_describe(graph):
     }
 
 
+def test_urimaker_rule_pruning(graph):
+    """URIMakerRule analogue: a pattern pinning ?c to customer URIs must
+    prune the supplier arm of ?c ex:inNation ?n AT PLAN TIME — the
+    supplier table never reaches the scan."""
+    df = execute(
+        graph,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?c ?n WHERE { ?c a ex:Customer . ?c ex:inNation ?n . }""",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "supplier" not in plan
+    assert df.count() == 150
+    # without the type restriction both arms stay
+    both = execute(
+        graph,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?c ?n WHERE { ?c ex:inNation ?n . }""",
+    )
+    plan2 = both._jdf.queryExecution().executedPlan().toString()
+    assert "supplier" in plan2
+    assert both.count() == 160  # 150 customers + 10 suppliers
+
+
 def test_subquery(graph):
     """{ SELECT ... } subquery: inner aggregate joined to the outer
     pattern on the shared variable."""
