@@ -644,7 +644,7 @@ class MappingCompiler:
         Two levels (the Spark re-expression of union batching,
         algebra/CompatibleRelationGroup.java — SURVEY §4):
           * projection fusion: bridges over the identical relation emit
-            their triples via explode(array_compact(array(struct,…)));
+            their triples via explode(array(struct,…)) + null filter;
           * join fusion: single-hop N:1 (FK-hinted) join bridges are
             folded into the base group — their dims attach as LEFT
             broadcast joins and their conditions/join-null checks move
@@ -713,9 +713,17 @@ class MappingCompiler:
             for cond in common:
                 df = df.filter(F.expr(cond))
             structs = [self.triple_struct(cb, guard_conditions=common)[0] for cb in fused]
-            fused_frame = df.select(
-                F.explode(F.array_compact(F.array(*structs))).alias("t")
-            ).select("t.*")
+            # explode the raw array and drop NULL structs in a separate
+            # Filter: array_compact is a higher-order function
+            # (ArrayFilter = CodegenFallback) and at the top of the
+            # stage it silently disabled WHOLE-STAGE CODEGEN for the
+            # entire dump pipeline — measured on the finalized plan
+            # (zero *(n) spans).  explode + isNotNull is codegen'd.
+            fused_frame = (
+                df.select(F.explode(F.array(*structs)).alias("t"))
+                .filter(F.col("t").isNotNull())
+                .select("t.*")
+            )
             # d2rq:resultSizeLimit applies per relation in BOTH
             # evaluation modes (bridge_df caps singles; fuse must not
             # silently lift the cap the mapping declares)
