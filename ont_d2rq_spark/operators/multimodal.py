@@ -95,6 +95,80 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.repartition("kind").mapInPandas(decode_media_batch, MEDIA_META_SCHEMA)
 
 
+def resize_plan(meta: DataFrame, max_side: int = 224) -> DataFrame:
+    """Aspect-preserving fit of decoded media into a max_side box —
+    REAL logic (integer math, pure Catalyst, no UDF): the layout step a
+    vision-model preprocessor runs on every image.  Upscaling is never
+    applied (scale capped at 1:1)."""
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    needs = longest > max_side
+    # explicit floor: Spark's double→int cast truncates but DuckDB's
+    # rounds — floor() pins identical semantics in both engines
+    out_w = F.when(needs, F.floor(w * max_side / longest).cast("int")).otherwise(w)
+    out_h = F.when(needs, F.floor(h * max_side / longest).cast("int")).otherwise(h)
+    return meta.withColumns(
+        {
+            "out_width": F.greatest(out_w, F.lit(1)),
+            "out_height": F.greatest(out_h, F.lit(1)),
+            "scaled": needs,
+        }
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def _fake_frames(content: bytes, every_ms: int) -> list:
+    """STUB frame extractor (real impl: libav/pyav — not in this
+    container).  Deterministic fake: 'duration' derives from the byte
+    length (100 ms per byte), frames are content slices."""
+    duration_ms = len(content) * 100
+    frames = []
+    idx = 0
+    for ts in range(0, max(duration_ms, 1), every_ms):
+        lo = (ts // 100) % max(len(content), 1)
+        frames.append((idx, ts, bytes(content[lo : lo + 4])))
+        idx += 1
+    return frames
+
+
+def sample_frames_batch(every_ms: int):
+    """mapInPandas kernel factory: (media_ref, content) batches → one
+    row per sampled frame.  Arrow-batched; the per-media Python loop is
+    over BATCH rows, never shipped per-frame."""
+
+    def _kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_ref": [], "frame_index": [], "frame_ts_ms": [], "frame_bytes": []}
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                for idx, ts, fb in _fake_frames(bytes(content or b""), every_ms):
+                    out["media_ref"].append(ref)
+                    out["frame_index"].append(idx)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_bytes"].append(fb)
+            yield pd.DataFrame(out)
+
+    return _kernel
+
+
+def sample_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
+    """df(media_ref, content binary) → one row per sampled frame
+    (video frame-sampling plumbing; extraction kernel is the declared
+    STUB).  Repartition by media_ref so one video's frames land in one
+    task (decoder state locality at scale)."""
+    return df.repartition("media_ref").mapInPandas(
+        sample_frames_batch(every_ms), FRAME_SCHEMA
+    )
+
+
 def media_refs_from_docs(docs: DataFrame) -> DataFrame:
     """Pull media spans out of the interleaved table and synthesize
     deterministic fake bytes for the stubbed decoder (real deployments

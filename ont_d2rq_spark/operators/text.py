@@ -89,3 +89,39 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (cross-engine reproducible, unlike xxhash64 which DuckDB lacks)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by WINNOWING (Schleimer et
+    al., SIGMOD'03 — the MOSS scheme): hash every char k-gram, then keep
+    the minimum hash of each `window` of consecutive k-grams; the
+    distinct minima are the document's fingerprint set.  Guarantees at
+    least one shared fingerprint for any common substring of length ≥
+    k + window − 1 — the partial-overlap detector exact-dup md5 can't be.
+
+    Pure Catalyst (SQL transform lambdas), md5-derived 60-bit hashes so
+    the DuckDB oracle replays it exactly.  Docs shorter than
+    k + window − 1 chars produce no fingerprints.
+    → (doc_id, fp) one row per distinct fingerprint."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    base = df.select(F.col(id_col), norm.alias("nt")).filter(
+        F.length("nt") >= k + window - 1
+    )
+    hashes = F.expr(
+        f"transform(sequence(0, length(nt) - {k}), "
+        f"i -> cast(conv(substr(md5(substring(nt, i + 1, {k})), 1, 15), 16, 10) as bigint))"
+    )
+    mins = F.expr(
+        f"transform(sequence(0, size(hs) - {window}), "
+        f"j -> array_min(slice(hs, j + 1, {window})))"
+    )
+    return (
+        base.withColumn("hs", hashes)
+        .select(id_col, F.explode(F.array_distinct(mins)).alias("fp"))
+    )

@@ -495,6 +495,38 @@ SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
 """
 
 
+def q_doc_winnow(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (MOSS scheme): the
+    partial-overlap detector; shared fingerprints ⇒ shared substrings
+    of length ≥ k+w−1."""
+    from ont_d2rq_spark.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=8, window=4)
+
+
+SQL_DOC_WINNOW = r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+  FROM documents
+),
+base AS (SELECT doc_id, nt FROM norm WHERE length(nt) >= 11),
+hs AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(substr(nt, CAST(i AS INT) + 1, 8)), 1, 15) AS BIGINT)
+          FOR i IN range(0, length(nt) - 8 + 1)] AS hs
+  FROM base
+),
+mins AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[CAST(j AS INT) + 1 : CAST(j AS INT) + 4])
+                        FOR j IN range(0, len(hs) - 4 + 1)]) AS fps
+  FROM hs
+)
+SELECT doc_id, unnest(fps) AS fp FROM mins
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalized content; representative =
     min doc_id (deterministic)."""
@@ -1531,6 +1563,46 @@ FROM m
 """
 
 
+def q_media_resize(spark, sf_dir):
+    """Vision-preprocessor resize step over decoded media: aspect-
+    preserving fit into a 64px box (REAL integer math on the stub
+    dims, pure Catalyst — no UDF)."""
+    from ont_d2rq_spark.operators.multimodal import (
+        decode_media,
+        media_refs_from_docs,
+        resize_plan,
+    )
+    from ont_d2rq_spark.pipeline.docs import synthesize_interleaved
+
+    docs = synthesize_interleaved(spark, sf_dir)
+    meta = resize_plan(decode_media(media_refs_from_docs(docs)), max_side=64)
+    return meta.select("media_ref", "width", "height", "out_width", "out_height", "scaled")
+
+
+SQL_MEDIA_RESIZE = f"""
+WITH {_SPANS_CTE},
+m AS (
+  SELECT media_ref, media_ref || '#' || kind AS content
+  FROM spans WHERE media_ref IS NOT NULL
+),
+d AS (
+  SELECT media_ref,
+         CAST(16 + (ascii(substr(content, 1, 1)) % 64) AS INT) AS width,
+         CAST(16 + (length(content) % 64) AS INT) AS height
+  FROM m
+)
+SELECT media_ref, width, height,
+       GREATEST(CASE WHEN GREATEST(width, height) > 64
+                     THEN CAST(FLOOR(width * 64 / GREATEST(width, height)) AS INT)
+                     ELSE width END, 1) AS out_width,
+       GREATEST(CASE WHEN GREATEST(width, height) > 64
+                     THEN CAST(FLOOR(height * 64 / GREATEST(width, height)) AS INT)
+                     ELSE height END, 1) AS out_height,
+       GREATEST(width, height) > 64 AS scaled
+FROM d
+"""
+
+
 def q_pipeline_kg(spark, sf_dir):
     """Full north-star pipeline: synth → integrity → mentions → link →
     sameAs connected components → canonical rewrite.  The oracle replays
@@ -1590,6 +1662,7 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_mentions": q_doc_mentions,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnow": q_doc_winnow,
     "dedup_exact": q_dedup_exact,
     "similarity_topk": q_similarity_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1621,6 +1694,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_decode": q_media_decode,
+    "media_resize": q_media_resize,
     "pipeline_kg": q_pipeline_kg,
 }
 
@@ -1648,6 +1722,7 @@ def oracles() -> dict[str, str]:
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_mentions": SQL_DOC_MENTIONS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_winnow": SQL_DOC_WINNOW,
         "dedup_exact": SQL_DEDUP_EXACT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
@@ -1679,5 +1754,6 @@ def oracles() -> dict[str, str]:
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "media_decode": SQL_MEDIA_DECODE,
+        "media_resize": SQL_MEDIA_RESIZE,
         "pipeline_kg": SQL_PIPELINE_KG,
     }

@@ -170,6 +170,27 @@ def test_lsh_near_dup_recall(spark):
     assert len(lsh) / len(exact) >= 0.8  # recall ≈ 1-(1-p^3)^16 ≈ 0.94+ at cos≥0.3
 
 
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantee: any shared substring of length ≥ k+w−1
+    yields at least one shared fingerprint; disjoint alphabets share
+    none; identical docs share everything."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a totally different prefix BUT the quick brown fox appears here"),
+        (3, "zzzz yyyy xxxx wwww vvvv uuuu"),  # disjoint content
+        (4, "the quick brown fox jumps over the lazy dog"),  # == doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = {}
+    for r in TX.winnow_fingerprints(df, k=8, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] == fps[4]  # identical docs → identical fingerprint sets
+    assert fps[1] & fps[2]  # shared 'the quick brown fox' window survives
+    assert not (fps[1] & fps[3])  # disjoint content → no shared fp
+    # far fewer fingerprints than k-grams (that's the point of winnowing)
+    assert len(fps[1]) < len(rows[0][1]) - 8 + 1
+
+
 def test_text_analysis(docs):
     q = {r["doc_id"]: r for r in TX.quality_score(docs).collect()}
     assert 0 <= q[1]["quality"] <= 1

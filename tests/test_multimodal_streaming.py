@@ -29,6 +29,41 @@ def test_decode_media_plumbing(spark):
     assert again[r["media_ref"]] == (r["width"], r["height"])
 
 
+def test_resize_plan(spark):
+    """Aspect-preserving fit: longest side capped, aspect ratio kept
+    (within integer floor), never upscaled."""
+    meta = spark.createDataFrame(
+        [("a", 100, 50), ("b", 30, 20), ("c", 64, 640)],
+        "media_ref string, width int, height int",
+    )
+    out = {r["media_ref"]: r for r in MM.resize_plan(meta, max_side=64).collect()}
+    assert (out["a"]["out_width"], out["a"]["out_height"], out["a"]["scaled"]) == (64, 32, True)
+    assert (out["b"]["out_width"], out["b"]["out_height"], out["b"]["scaled"]) == (30, 20, False)
+    assert (out["c"]["out_width"], out["c"]["out_height"]) == (6, 64)  # floor(6.4)
+
+
+def test_sample_frames_plumbing(spark):
+    """Frame sampling: Arrow-batched mapInPandas, deterministic stub
+    extractor, one row per sampled frame, schema pinned."""
+    vids = spark.createDataFrame(
+        [("v1", b"0123456789" * 3), ("v2", b"ab")],
+        "media_ref string, content binary",
+    )
+    frames = MM.sample_frames(vids, every_ms=500)
+    assert frames.schema == MM.FRAME_SCHEMA
+    rows = frames.collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    # v1: 30 bytes → 3000 ms 'duration' → frames at 0,500,...,2500 = 6
+    assert len(by_ref["v1"]) == 6
+    assert sorted(r["frame_ts_ms"] for r in by_ref["v1"]) == [0, 500, 1000, 1500, 2000, 2500]
+    # v2: 2 bytes → 200 ms → one frame at t=0
+    assert len(by_ref["v2"]) == 1 and by_ref["v2"][0]["frame_bytes"] == b"ab"
+    # deterministic: indices contiguous from 0
+    assert sorted(r["frame_index"] for r in by_ref["v1"]) == list(range(6))
+
+
 def test_streaming_doc_mentions(spark, tmp_path):
     """The doc-pipeline mention stage runs unchanged on a STREAM of
     interleaved documents (source-agnostic transforms: same pandas UDF,

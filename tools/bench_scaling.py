@@ -215,7 +215,7 @@ def main():
         f"(box-ceiling-normalized {norm(eff_pipe)})",
         "",
         f"Doc-pipeline input: documents ×{K_PIPE} (~{K_PIPE*5000//1000}k docs); "
-        "the dump jobs use the ×16 all-tables input.  Normalization: "
+        f"the dump jobs use the ×{k} all-tables input.  Normalization: "
         "eff / 0.66, the measured 8→32 ceiling of this single box (see "
         "Caveats) — the divisor a real 4× executor cluster does not pay.",
         "",
