@@ -89,6 +89,40 @@ def test_streaming_doc_mentions(spark, tmp_path):
     assert got.exceptAll(expect).isEmpty()
 
 
+def test_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state streaming dedup: duplicate triple identities inside
+    the watermark horizon are emitted once (the streaming analogue of
+    the batch dump's global DISTINCT)."""
+    import datetime as dt
+
+    from ont_d2rq_spark.streaming.incremental import dedup_within_watermark
+
+    T = dt.datetime
+    rows = [
+        ("s1", "p", "o1", T(2020, 1, 1, 10, 0)),
+        ("s1", "p", "o1", T(2020, 1, 1, 10, 1)),  # duplicate identity
+        ("s1", "p", "o1", T(2020, 1, 1, 10, 2)),  # duplicate identity
+        ("s2", "p", "o2", T(2020, 1, 1, 10, 3)),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, ets timestamp")
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        dedup_within_watermark(stream, "ets", "1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["subj"], r["obj"]) for r in spark.sql("select * from dedup_out").collect()}
+    assert got == {("s1", "o1"), ("s2", "o2")}
+    assert spark.sql("select count(*) n from dedup_out").first()["n"] == 2
+
+
 def test_streaming_incremental_triples(spark, tmp_path):
     """File-source stream over the customer table → same triples as the
     batch compiler, via availableNow trigger."""
