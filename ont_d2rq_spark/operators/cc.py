@@ -169,13 +169,24 @@ def canonicalize_sameas(
     )
 
 
-def rewrite_triples_canonical(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+def rewrite_triples_canonical(
+    triples: DataFrame, mapping: DataFrame, broadcast: bool = True
+) -> DataFrame:
     """Rewrite subj/obj through the canonical mapping (left joins keep
-    URIs that were never merged).  Two hash joins; Catalyst broadcasts
-    the mapping automatically when it is small, otherwise AQE handles
-    the shuffle/skew."""
+    URIs that were never merged).
+
+    ``broadcast=True`` (default) forces broadcast hash joins: the
+    mapping is the CC output — an ITERATIVE subplan whose size Catalyst
+    cannot estimate, so without the hint it picks SortMergeJoin and the
+    full triple table shuffles TWICE (measured: 30k-row map vs 27M
+    triples chose SMJ).  An alias→canonical map is bounded by distinct
+    surface forms, far below the triple count; pass broadcast=False
+    only when the map itself is beyond executor memory, and AQE's
+    skew-join handles the shuffle."""
     m_s = mapping.withColumnsRenamed({"uri": "subj", "canonical_uri": "_cs"})
     m_o = mapping.withColumnsRenamed({"uri": "obj", "canonical_uri": "_co"})
+    if broadcast:
+        m_s, m_o = F.broadcast(m_s), F.broadcast(m_o)
     out = (
         triples.join(m_s, "subj", "left")
         .join(m_o, "obj", "left")
