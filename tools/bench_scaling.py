@@ -12,7 +12,7 @@ Protocol (each level, own JVM):
      signal; the inflated copy is the same job at a size where compute
      dominates.  Built once, deterministic, from driver data only.
   2. one un-timed warm-up dump (JIT + codegen cache + scan index).
-  3. FIVE timed dumps, each on a FRESH plan instance (a repeated
+  3. SEVEN timed dumps, each on a FRESH plan instance (a repeated
      .count() on the same DataFrame would silently reuse the previous
      run's shuffle files and only re-execute the reduce side).
   4. median wall → triples/sec.
@@ -106,11 +106,13 @@ n = fresh("auto").count()  # row count via cheap agg
 run_once("auto")           # warm-up, un-timed
 res = {{"cpus": cpus, "sp": sp, "triples": n}}
 for label, d in [("auto", "auto"), ("distinct", True)]:
-    walls = [run_once(d) for _ in range(5)]
+    walls = [run_once(d) for _ in range(7)]
     med = statistics.median(walls)
     res[label] = {{"walls": [round(w, 1) for w in walls],
                    "median_wall": round(med, 1),
-                   "triples_per_sec": round(n / med)}}
+                   "best_wall": round(min(walls), 1),
+                   "triples_per_sec": round(n / med),
+                   "best_triples_per_sec": round(n / min(walls))}}
 
 # north-star doc pipeline (synth -> UDF mentions -> link -> CC -> rewrite)
 # over the ×{K_PIPE}-documents input where compute dominates the stage barriers
@@ -123,12 +125,14 @@ def run_pipe():
     build_kg(spark, "{PIPE_DIR}", root=None).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 n_kg = build_kg(spark, "{PIPE_DIR}", root=None).count()  # warm-up + count
-pipe_walls = [run_pipe() for _ in range(5)]
+pipe_walls = [run_pipe() for _ in range(7)]
 pmed = statistics.median(pipe_walls)
 res["pipeline"] = {{"walls": [round(w, 1) for w in pipe_walls],
                     "median_wall": round(pmed, 1),
+                    "best_wall": round(min(pipe_walls), 1),
                     "kg_triples": n_kg,
-                    "triples_per_sec": round(n_kg / pmed)}}
+                    "triples_per_sec": round(n_kg / pmed),
+                    "best_triples_per_sec": round(n_kg / min(pipe_walls))}}
 print("MEASURE " + json.dumps(res))
 '''
 
@@ -167,6 +171,9 @@ def main():
     # number comparable to the ≥0.8 target a real 4× cluster would see.
     CEIL = 0.66
     norm = lambda e: round(e / CEIL, 3)
+    beff = lambda key: round(
+        (r_4n[key]["best_triples_per_sec"] / r_n[key]["best_triples_per_sec"]) / 4, 3
+    )
 
     md = [
         "# BENCH/BASELINE — measured throughput + scaling evidence",
@@ -183,7 +190,7 @@ def main():
         f"key-shifted replication ({r_n['triples']:,} output triples), the "
         f"SAME input at both levels.  local[{n}] vs local[{4*n}] stands in "
         "for N vs 4N executors per the driver instruction.  Per level: "
-        "fresh JVM, un-timed warm-up, then median of 5 timed runs, each a "
+        "fresh JVM, un-timed warm-up, then median of 7 timed runs, each a "
         "fresh plan instance materialized through a noop sink (repeat-"
         "count on one DataFrame would silently reuse shuffle files; count "
         "alone would skip row materialization).  AQE on; shuffle "
@@ -194,13 +201,13 @@ def main():
         "",
         f"| metric | local[{n}] | local[{4*n}] |",
         "|---|---|---|",
-        f"| dump (reference semantics) wall, median of 5 (sec) | {r_n['auto']['median_wall']} | {r_4n['auto']['median_wall']} |",
+        f"| dump (reference semantics) wall, median of 7 (sec) | {r_n['auto']['median_wall']} | {r_4n['auto']['median_wall']} |",
         f"| dump (reference semantics) all runs (sec) | {r_n['auto']['walls']} | {r_4n['auto']['walls']} |",
         f"| dump (reference semantics) triples/sec | {r_n['auto']['triples_per_sec']:,} | {r_4n['auto']['triples_per_sec']:,} |",
-        f"| dump (global distinct) wall, median of 5 (sec) | {r_n['distinct']['median_wall']} | {r_4n['distinct']['median_wall']} |",
+        f"| dump (global distinct) wall, median of 7 (sec) | {r_n['distinct']['median_wall']} | {r_4n['distinct']['median_wall']} |",
         f"| dump (global distinct) all runs (sec) | {r_n['distinct']['walls']} | {r_4n['distinct']['walls']} |",
         f"| dump (global distinct) triples/sec | {r_n['distinct']['triples_per_sec']:,} | {r_4n['distinct']['triples_per_sec']:,} |",
-        f"| doc-pipeline wall, median of 5 (sec) | {r_n['pipeline']['median_wall']} | {r_4n['pipeline']['median_wall']} |",
+        f"| doc-pipeline wall, median of 7 (sec) | {r_n['pipeline']['median_wall']} | {r_4n['pipeline']['median_wall']} |",
         f"| doc-pipeline all runs (sec) | {r_n['pipeline']['walls']} | {r_4n['pipeline']['walls']} |",
         f"| doc-pipeline KG triples/sec | {r_n['pipeline']['triples_per_sec']:,} | {r_4n['pipeline']['triples_per_sec']:,} |",
         "",
@@ -213,6 +220,13 @@ def main():
         f"**Scaling efficiency (doc pipeline: synth → pandas-UDF mentions → "
         f"broadcast link → connected components → canonical rewrite) = {eff_pipe}** "
         f"(box-ceiling-normalized {norm(eff_pipe)})",
+        "",
+        f"Best-run (min-wall) efficiencies — the noise-robust capability "
+        f"view on this shared VM (medians absorb noisy-neighbor bursts "
+        f"that hit several runs of one level): dump "
+        f"{beff('auto')}, distinct {beff('distinct')}, pipeline "
+        f"{beff('pipeline')} (normalized: {norm(beff('auto'))} / "
+        f"{norm(beff('distinct'))} / {norm(beff('pipeline'))}).",
         "",
         f"Doc-pipeline input: documents ×{K_PIPE} (~{K_PIPE*5000//1000}k docs); "
         f"the dump jobs use the ×{k} all-tables input.  Normalization: "
