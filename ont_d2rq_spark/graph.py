@@ -86,6 +86,16 @@ class PathPlus:
         return f"PathPlus({self.pred!r})"
 
 
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _norm_dt(dt: Optional[str]) -> Optional[str]:
+    """RDF 1.1: a plain string literal IS an xsd:string literal — the
+    datatype() FILTER builtin already maps plain → xsd:string, so
+    typed-literal unification must treat the two as identical too."""
+    return None if dt == _XSD_STRING else dt
+
+
 _COMPANION_SUFFIXES = ("__dt", "__lang", "__islit")
 
 
@@ -155,7 +165,7 @@ class VirtualGraph:
                 raise _Prune()
             if want_lang is not None and (eff_lang or "").lower() != want_lang.lower():
                 raise _Prune()
-            if want_dt is not None and eff_dt != want_dt:
+            if want_dt is not None and _norm_dt(eff_dt) != _norm_dt(want_dt):
                 raise _Prune()
         # value-decorator pruning (values/ValueDecorator.java, P4)
         if spec.value_max_length is not None and len(value) > spec.value_max_length:
@@ -311,7 +321,9 @@ class VirtualGraph:
         if a_lit:
             _, dt_a, la = self._literal_meta(cb_a, a)
             _, dt_b, lb = self._literal_meta(cb_b, b)
-            return (la or "").lower() == (lb or "").lower() and dt_a == dt_b
+            return (la or "").lower() == (lb or "").lower() and _norm_dt(
+                dt_a
+            ) == _norm_dt(dt_b)
         a_bn, b_bn = a.kind == "bnode", b.kind == "bnode"
         if a_bn or b_bn:
             if a_bn and b_bn:
@@ -519,7 +531,13 @@ class VirtualGraph:
             right = right.drop(*dup)
             if shared:
                 return left.join(right, on=shared, how=how)
-            return left.crossJoin(right) if how == "inner" else left.crossJoin(right)
+            if how == "left":
+                # OPTIONAL with disjoint domains: SPARQL leftjoin must
+                # preserve left solutions unbound when the right side is
+                # empty — a cross join would drop them.  A true-condition
+                # left join (BroadcastNestedLoopJoin) keeps them.
+                return left.join(right, F.lit(True), "left")
+            return left.crossJoin(right)
 
         out = frames[0]
         for nxt in frames[1:]:

@@ -42,8 +42,15 @@ def asof_join(
     whole right-row STRUCT keyed on a non-null marker — so a matching
     right row whose payload value IS NULL correctly yields NULL instead
     of leaking an older non-null payload (last(col, ignorenulls) would
-    skip it)."""
-    lt = left.withColumn("_side", F.lit(1))
+    skip it).
+
+    Ties: multiple right rows with equal (by, on) are ordered by a
+    stable hash of their payload (``_tie``), so the carried row is
+    deterministic across runs/partitionings instead of whichever row
+    the shuffle happened to deliver last."""
+    lt = left.withColumn("_side", F.lit(1)).withColumn(
+        "_tie", F.lit(0).cast("bigint")
+    )
     rt = (
         right.filter(F.col(by).isNotNull() & F.col(on).isNotNull())
         .select(
@@ -52,6 +59,7 @@ def asof_join(
             F.lit(0).alias("_side"),
             *[F.col(c) for c in right_cols],
         )
+        .withColumn("_tie", F.xxhash64(*[F.col(c) for c in right_cols]))
     )
     for c in right_cols:
         if c in left.columns:
@@ -59,7 +67,7 @@ def asof_join(
     merged = lt.unionByName(rt, allowMissingColumns=True)
     w = (
         W.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_tie").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carry = F.last(
@@ -71,4 +79,6 @@ def asof_join(
     out = merged.withColumn("_carry", carry)
     for c in right_cols:
         out = out.withColumn(c + suffix, F.col("_carry")[c])
-    return out.filter(F.col("_side") == 1).drop("_side", "_carry", *right_cols)
+    return out.filter(F.col("_side") == 1).drop(
+        "_side", "_tie", "_carry", *right_cols
+    )

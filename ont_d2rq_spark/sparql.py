@@ -68,8 +68,19 @@ def _rewrite_builtins(expr: str) -> str:
     """SPARQL FILTER/BIND builtins → Spark SQL over the binding columns
     and their typed-literal companions (v__lang / v__dt / v__islit) —
     the Catalyst analogue of the reference's TransformExprToSQLApplyer
-    + expr/* translation layer."""
-    e = re.sub(r"\blang\s*\(\s*(\w+)\s*\)", r"coalesce(\1__lang, '')", expr, flags=re.I)
+    + expr/* translation layer.
+
+    String constants are masked with placeholders first so the textual
+    operator rewrites (&&, ||, !, builtin names) can never corrupt a
+    quoted literal like "Tom&&Jerry" or an IRI containing '!'."""
+    strings: list[str] = []
+
+    def _mask(m):
+        strings.append(m.group(0))
+        return f"\x00{len(strings) - 1}\x00"
+
+    e = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", _mask, expr)
+    e = re.sub(r"\blang\s*\(\s*(\w+)\s*\)", r"coalesce(\1__lang, '')", e, flags=re.I)
     e = re.sub(
         r"\bdatatype\s*\(\s*(\w+)\s*\)",
         rf"coalesce(\1__dt, CASE WHEN \1__islit THEN '{XSD_STRING}' END)",
@@ -82,22 +93,25 @@ def _rewrite_builtins(expr: str) -> str:
     e = re.sub(r"\bstr\s*\(\s*(\w+)\s*\)", r"\1", e, flags=re.I)
 
     def _rx(m):
-        var, pat, flags = m.group(1), m.group(2), m.group(4)
+        var = m.group(1)
+        pat = strings[int(m.group(2))]
+        flags = strings[int(m.group(4))] if m.group(4) else None
         if flags:
             pat = pat[0] + f"(?{flags[1:-1]})" + pat[1:-1] + pat[-1]
-        return f"regexp_like({var}, {pat})"
+        strings.append(pat)
+        return f"regexp_like({var}, \x00{len(strings) - 1}\x00)"
 
     e = re.sub(
-        r"\bregex\s*\(\s*(\w+)\s*,\s*('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
-        r"(\s*,\s*('[a-zA-Z]*'|\"[a-zA-Z]*\"))?\s*\)",
+        r"\bregex\s*\(\s*(\w+)\s*,\s*\x00(\d+)\x00"
+        r"(\s*,\s*\x00(\d+)\x00)?\s*\)",
         _rx,
         e,
         flags=re.I,
     )
-    # SPARQL logical operators → Spark SQL
+    # SPARQL logical operators → Spark SQL (string constants are masked)
     e = e.replace("&&", " AND ").replace("||", " OR ")
     e = re.sub(r"(?<![!=<>])!(?!=)", " NOT ", e)
-    return e
+    return re.sub(r"\x00(\d+)\x00", lambda m: strings[int(m.group(1))], e)
 
 _TOK = re.compile(
     r"""
@@ -772,6 +786,12 @@ def _execute_query(graph, q: Query) -> DataFrame:
             df = df.join(sdf, on=shared, how="inner") if shared else df.crossJoin(sdf)
     if df is None:  # empty group = one empty solution (SPARQL algebra)
         df = graph.spark.range(1).select(F.lit(1).alias("_m"))
+        # OPTIONAL over the unit solution (no basic patterns, no UNION):
+        # left-join each optional group so its bindings surface instead
+        # of being silently dropped
+        for group in q.optional:
+            sub = graph.bgp(group)
+            df = df.join(sub, F.lit(True), "left")
 
     # VALUES: inline binding tables, broadcast-joined on shared vars
     for vars_, rows in q.values_clauses:
