@@ -1494,16 +1494,21 @@ SELECT q_id, id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """The SCALE path for embedding near-dup: LSH-bucketed candidates
-    (no all-pairs product), exact cosine verification.  Oracle replays
-    the identical bucketing, so this green row certifies the 100 TB
-    shape, not just the quadratic baseline."""
+    (no all-pairs product), exact cosine verification, at a scale-true
+    operating point (planes=8 → 256 buckets/table → candidate volume
+    ≈ n²/32, vs ~n² at planes=3).  The oracle replays the identical
+    bucketing AND the measured global candidate-pair count
+    (n_candidates), so this green row certifies the bucketing
+    reduction, not just the final pairs."""
     from ont_d2rq_spark.operators.similarity import lsh_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_near_dup_pairs(e, dim=64, threshold=0.3, planes=3, tables=16)
+    return lsh_near_dup_pairs(
+        e, dim=64, threshold=0.4, planes=8, tables=32, with_stats=True
+    )
 
 
-def sql_embedding_near_dup_lsh(threshold: float = 0.3, planes: int = 3, tables: int = 16) -> str:
+def sql_embedding_near_dup_lsh(threshold: float = 0.4, planes: int = 8, tables: int = 32) -> str:
     return f"""
 WITH {_duckdb_banded_cte(planes, tables, "neardup")},
 cand AS (
@@ -1512,7 +1517,8 @@ cand AS (
 )
 SELECT id_a, id_b,
        ROUND(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine,
+       (SELECT COUNT(*) FROM cand) AS n_candidates
 FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b
 WHERE ROUND(list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
