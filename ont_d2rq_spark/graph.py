@@ -75,15 +75,23 @@ def _var_name(term) -> str:
 
 
 class PathPlus:
-    """SPARQL `pred+` property path: one-or-more hops of a single
-    predicate — evaluated as a distributed transitive closure
-    (operators/closure.py) over the predicate's edge set."""
+    """SPARQL `pred+` / `pred*` / `pred?` property path over a single
+    predicate.  ``mod``:
+      '+' — one-or-more hops: distributed transitive closure
+            (operators/closure.py) over the predicate's edge set.
+      '*' — zero-or-more: the '+' closure ∪ the zero-length identity.
+      '?' — zero-or-one: the edge set ∪ the zero-length identity.
+    Zero-length semantics follow ARQ: with a bound end the identity is
+    that term alone; var-var matches every non-literal node in the
+    graph (literal endpoints of zero-length paths are not emitted —
+    companions aren't carried through closures)."""
 
-    def __init__(self, pred: str):
+    def __init__(self, pred: str, mod: str = "+"):
         self.pred = pred
+        self.mod = mod
 
     def __repr__(self):
-        return f"PathPlus({self.pred!r})"
+        return f"PathPlus({self.pred!r}, {self.mod!r})"
 
 
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
@@ -97,6 +105,68 @@ def _norm_dt(dt: Optional[str]) -> Optional[str]:
 
 
 _COMPANION_SUFFIXES = ("__dt", "__lang", "__islit")
+
+
+def bgp_over_triples(tdf: DataFrame, patterns) -> DataFrame:
+    """Generic BGP evaluation over a materialized triple frame
+    (TRIPLE_SCHEMA) — filter per pattern, rename to variable columns
+    (with __dt/__lang/__islit companions for objects), join on shared
+    variables.  Used for named graphs whose triples are not
+    mapping-backed (the vocabulary graph); the data graph keeps the
+    pushdown-compiled VirtualGraph.bgp path."""
+    frames: list[DataFrame] = []
+    for s, p, o in patterns:
+        if isinstance(p, (PathPlus, tuple)):
+            raise ValueError("property paths not supported over a triple frame")
+        f = tdf
+        sel: list = []
+        seen: dict = {}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if term is None:
+                continue
+            if _is_var(term):
+                v = _var_name(term)
+                if v in seen:
+                    f = f.filter(F.col(col) == F.col(seen[v]))
+                    continue
+                seen[v] = col
+                sel.append(F.col(col).alias(v))
+                if col == "obj":
+                    sel += [
+                        F.col("obj_datatype").alias(f"{v}__dt"),
+                        F.col("obj_lang").alias(f"{v}__lang"),
+                        F.col("is_literal").alias(f"{v}__islit"),
+                    ]
+                else:
+                    sel += [
+                        F.lit(None).cast("string").alias(f"{v}__dt"),
+                        F.lit(None).cast("string").alias(f"{v}__lang"),
+                        F.lit(False).alias(f"{v}__islit"),
+                    ]
+                continue
+            f = f.filter(F.col(col) == F.lit(str(term)))
+            if col == "obj" and isinstance(term, Lit):
+                f = f.filter(F.col("is_literal"))
+                if term.lang is not None:
+                    f = f.filter(
+                        F.lower(F.coalesce(F.col("obj_lang"), F.lit("")))
+                        == term.lang.lower()
+                    )
+                if term.datatype is not None:
+                    f = f.filter(
+                        F.nullif(
+                            F.col("obj_datatype"), F.lit(_XSD_STRING)
+                        ).eqNullSafe(F.lit(_norm_dt(term.datatype)))
+                    )
+        frames.append(f.select(*sel) if sel else f.limit(1).select(F.lit(1).alias("_m")))
+    out = frames[0]
+    for nxt in frames[1:]:
+        shared = [
+            c for c in out.columns if c in nxt.columns and not _is_companion(c)
+        ]
+        nxt = nxt.drop(*[c for c in nxt.columns if _is_companion(c) and c in out.columns])
+        out = out.join(nxt, on=shared, how="inner") if shared else out.crossJoin(nxt)
+    return out
 
 
 def _is_companion(col: str) -> bool:
@@ -121,6 +191,30 @@ class VirtualGraph:
         )
         self.bridges: list[CompiledBridge] = self.compiler.compile()
         self._cached: list[DataFrame] = []
+        # named graphs (SPARQL GRAPH clause): the reference serves the
+        # data and the derived OWL vocabulary as separable graphs
+        # (map/impl/schema/*, SURVEY §2.1 S8)
+        self.data_graph_iri = "urn:x-d2rq:graph:data"
+        self.vocabulary_graph_iri = "urn:x-d2rq:graph:vocabulary"
+
+    def graph_names(self) -> list[str]:
+        return [self.data_graph_iri, self.vocabulary_graph_iri]
+
+    def graph_scoped_bgp(self, graph_iri: str, patterns) -> DataFrame:
+        """BGP against one named graph.  The data graph takes the
+        mapping-compiled path (pushdown into the source tables); the
+        vocabulary graph — tiny, driver-built — evaluates over its
+        literal triple frame.  An unknown graph name yields the empty
+        solution set."""
+        if graph_iri == self.data_graph_iri:
+            return self.bgp(patterns)
+        if graph_iri == self.vocabulary_graph_iri:
+            from ont_d2rq_spark.schema_graph import schema_triples
+
+            tdf = schema_triples(self.mapping, self.spark)
+        else:
+            tdf = self.spark.createDataFrame([], TRIPLE_SCHEMA)
+        return bgp_over_triples(tdf, patterns)
 
     # ------------------------------------------------------------------
     # node binding (reference: TripleRelation.selectTriple + NodeMaker
@@ -408,8 +502,8 @@ class VirtualGraph:
         return df.select(*sel) if sel else df.limit(1).select(F.lit(1).alias("_m"))
 
     def _closure_frame(self, s, pth: "PathPlus", o) -> DataFrame:
-        """`pred+` pattern → transitive closure of the predicate's edge
-        set with the s/o terms applied.  Literal objects appear only as
+        """`pred+`/`pred*`/`pred?` pattern → the predicate's reachability
+        frame with the s/o terms applied.  Literal objects appear only as
         terminal nodes (they never match a subject); their datatype/lang
         companions are not carried through the closure."""
         from ont_d2rq_spark.operators.closure import transitive_closure
@@ -417,7 +511,34 @@ class VirtualGraph:
         base = self.bgp([("?__cs", pth.pred, "?__co")]).select(
             F.col("__cs").alias("src"), F.col("__co").alias("dst")
         )
-        df = transitive_closure(base)
+        mod = getattr(pth, "mod", "+")
+        df = base.distinct() if mod == "?" else transitive_closure(base)
+        if mod in ("*", "?"):
+            # zero-length path: a bound end prunes the identity to that
+            # single term; var-var needs the graph's full node set (ARQ
+            # semantics) — one dump-shaped scan, distinct on node
+            bound = next(
+                (t for t in (s, o) if t is not None and not _is_var(t)), None
+            )
+            if bound is not None:
+                ident = self.spark.createDataFrame(
+                    [(str(bound), str(bound))], "src string, dst string"
+                )
+            else:
+                t = self.triples(fuse=True)
+                nodes = (
+                    t.select(F.col("subj").alias("n"))
+                    .unionByName(
+                        t.filter(~F.col("is_literal")).select(
+                            F.col("obj").alias("n")
+                        )
+                    )
+                    .distinct()
+                )
+                ident = nodes.select(
+                    F.col("n").alias("src"), F.col("n").alias("dst")
+                )
+            df = df.unionByName(ident).distinct()
         sel, seen = [], {}
         for term, col in ((s, "src"), (o, "dst")):
             if term is not None and _is_var(term):

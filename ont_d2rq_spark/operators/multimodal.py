@@ -68,24 +68,42 @@ def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
 
 def decode_media_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (media_ref, kind, content: bytes) batches →
-    MEDIA_META_SCHEMA batches.  One Python crossing per Arrow batch."""
+    MEDIA_META_SCHEMA batches.  One Python crossing per Arrow batch,
+    and the (stub) kernels run VECTORIZED per batch — all rows' bytes
+    concatenate into one numpy buffer and the per-row histograms fall
+    out of a single bincount — the same batch-at-once shape a real
+    PIL/ONNX kernel would use.  _fake_decode/_fake_hist/_fake_feature
+    above stay as the scalar reference semantics (pinned equal by
+    pytest)."""
+    import numpy as np
+
     for pdf in it:
-        rows = []
-        for ref, kind, content in zip(pdf["media_ref"], pdf["kind"], pdf["content"]):
-            content = content or b""
-            w, h = _fake_decode(content)
-            rows.append(
-                {
-                    "media_ref": ref,
-                    "kind": kind,
-                    "n_bytes": len(content),
-                    "width": w,
-                    "height": h,
-                    "hist": _fake_hist(bytes(content)),
-                    "feature": _fake_feature(bytes(content)),
-                }
-            )
-        yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+        contents = [bytes(c) if c is not None else b"" for c in pdf["content"]]
+        n = len(contents)
+        lens = np.fromiter((len(c) for c in contents), dtype=np.int64, count=n)
+        flat = np.frombuffer(b"".join(contents), dtype=np.uint8)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hist = np.bincount(
+            row_ids * 8 + (flat.astype(np.int64) % 8), minlength=n * 8
+        ).reshape(n, 8)
+        first = np.fromiter(
+            (c[0] if c else 0 for c in contents), dtype=np.int64, count=n
+        )
+        width = np.where(lens > 0, 16 + first % 64, 0).astype(np.int32)
+        height = np.where(lens > 0, 16 + lens % 64, 0).astype(np.int32)
+        sums = hist.sum(axis=1, keepdims=True).astype(np.float64)
+        feature = hist / np.where(sums == 0, 1.0, sums)
+        yield pd.DataFrame(
+            {
+                "media_ref": pdf["media_ref"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "n_bytes": lens,
+                "width": width,
+                "height": height,
+                "hist": list(hist),
+                "feature": [r.astype(np.float32) for r in feature],
+            }
+        )
 
 
 def decode_media(df: DataFrame) -> DataFrame:

@@ -955,6 +955,94 @@ JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def q_sparql_path_star(spark, sf_dir):
+    """SPARQL `p*` (zero-or-more) path: the `p+` distributed closure ∪
+    the zero-length identity.  ?n is join-restricted to nations, so the
+    identity contributes (nation, nation) and the closure one inRegion
+    hop — the result pins both the closure plumbing and ARQ's
+    zero-length semantics."""
+    from ont_d2rq_spark.sparql import execute
+
+    g = _graph(spark, sf_dir)
+    return execute(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?n ?x WHERE {
+            ?n a ex:Nation .
+            ?n ex:inRegion* ?x .
+        }
+        """,
+    )
+
+
+SQL_SPARQL_PATH_STAR = """
+SELECT 'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS n,
+       'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS x
+FROM nation
+UNION ALL
+SELECT 'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+       'http://example.org/region/' || CAST(n_regionkey AS VARCHAR)
+FROM nation
+"""
+
+
+def q_sparql_graph(spark, sf_dir):
+    """GRAPH clause over named graphs: the vocabulary graph supplies
+    the class list, the data graph the instances — a cross-graph join
+    on ?cls (reference serves data + schema as separable graphs,
+    SURVEY §2.1 S8)."""
+    from ont_d2rq_spark.sparql import execute
+
+    g = _graph(spark, sf_dir)
+    return execute(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        SELECT ?cls ?name WHERE {
+            GRAPH <urn:x-d2rq:graph:vocabulary> { ?cls a owl:Class }
+            GRAPH <urn:x-d2rq:graph:data> {
+                ?x a ?cls . ?x ex:name ?name .
+                FILTER (name like 'NATION%')
+            }
+        }
+        """,
+    )
+
+
+SQL_SPARQL_GRAPH = """
+SELECT 'http://example.org/Nation' AS cls, n_name AS name FROM nation
+"""
+
+
+def q_sparql_values_undef(spark, sf_dir):
+    """VALUES with UNDEF cells: an UNDEF leaves that variable
+    unconstrained in that row (solution compatibility), so the inline
+    table acts as a disjunction of partial bindings."""
+    from ont_d2rq_spark.sparql import execute
+
+    g = _graph(spark, sf_dir)
+    return execute(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT DISTINCT ?name ?rname WHERE {
+            ?n a ex:Nation . ?n ex:name ?name .
+            ?n ex:inRegion ?r . ?r ex:name ?rname .
+            VALUES (?name ?rname) { ("NATION_2" UNDEF) (UNDEF "ASIA") }
+        }
+        """,
+    )
+
+
+SQL_SPARQL_VALUES_UNDEF = """
+SELECT DISTINCT n_name AS name, r_name AS rname
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_name = 'NATION_2' OR r_name = 'ASIA'
+"""
+
+
 def q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window aggregation over the events stream
     table — the batch shape of the Structured Streaming path (§2.9);
@@ -1693,6 +1781,9 @@ QUERIES = {
     "sparql_filter_lang": q_sparql_filter_lang,
     "sparql_path": q_sparql_path,
     "sparql_construct": q_sparql_construct,
+    "sparql_path_star": q_sparql_path_star,
+    "sparql_graph": q_sparql_graph,
+    "sparql_values_undef": q_sparql_values_undef,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "agg_count_distinct": q_agg_count_distinct,
@@ -1753,6 +1844,9 @@ def oracles() -> dict[str, str]:
         "sparql_filter_lang": SQL_SPARQL_FILTER_LANG,
         "sparql_path": SQL_SPARQL_PATH,
         "sparql_construct": SQL_SPARQL_CONSTRUCT,
+        "sparql_path_star": SQL_SPARQL_PATH_STAR,
+        "sparql_graph": SQL_SPARQL_GRAPH,
+        "sparql_values_undef": SQL_SPARQL_VALUES_UNDEF,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
         "agg_count_distinct": SQL_AGG_COUNT_DISTINCT,

@@ -121,7 +121,7 @@ _TOK = re.compile(
   | (?P<num>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.%-]*)
   | (?P<kw>[A-Za-z_]+)
-  | (?P<op>>=|<=|!=|&&|\|\||[=<>+\-/!%^|])
+  | (?P<op>>=|<=|!=|&&|\|\||[=<>+\-/!%^|?])
   | (?P<punct>[{}().;,*])
   | (?P<ws>\s+)
 """,
@@ -151,6 +151,7 @@ class Query:
     template: list[tuple] = field(default_factory=list)  # CONSTRUCT triples
     describe: list[str] = field(default_factory=list)  # DESCRIBE nodes
     subqueries: list["Query"] = field(default_factory=list)
+    graphs: list[tuple] = field(default_factory=list)  # (graph term, patterns)
 
 
 class SparqlError(ValueError):
@@ -394,8 +395,19 @@ class _P:
                 self.next()
                 q.values_clauses.append(self._values_clause())
                 continue
-            if g.upper() in ("GRAPH", "SERVICE"):
-                raise SparqlError(f"{g.upper()} not supported in this subset")
+            if g.upper() == "GRAPH":
+                # GRAPH <iri> { … } / GRAPH ?g { … }: the group's
+                # patterns evaluate against the named graph (data or
+                # vocabulary); ?g unions both with ?g bound
+                self.next()
+                gterm = self.term()
+                self.expect("{")
+                gpats: list = []
+                self._group(gpats, q)
+                q.graphs.append((gterm, gpats))
+                continue
+            if g.upper() == "SERVICE":
+                raise SparqlError("SERVICE not supported (no network)")
             s = self.term()
             alts = self._path()
             patterns.extend(self._expand_path(s, alts, self.term()))
@@ -441,18 +453,17 @@ class _P:
         return term
 
     # ---- property paths (pred position): ^inv, p1/p2 sequence,
-    #      p1|p2 alternation, p+ one-or-more ------------------------------
+    #      p1|p2 alternation, p+ / p* / p? repetition ---------------------
     def _path_atom(self):
         inv = False
         if self.peek() is not None and self.peek().group(0) == "^":
             self.next()
             inv = True
         t = self.term()
-        plus = False
-        if self.peek() is not None and self.peek().group(0) == "+":
-            self.next()
-            plus = True
-        return (t, inv, plus)
+        mod = None
+        if self.peek() is not None and self.peek().group(0) in ("+", "*", "?"):
+            mod = self.next().group(0)
+        return (t, inv, mod)
 
     def _path(self):
         """→ list of alternatives; each alternative a list of atoms
@@ -477,11 +488,11 @@ class _P:
             out = []
             seq = alts[0]
             cur = s
-            for i, (pred, inv, plus) in enumerate(seq):
+            for i, (pred, inv, mod) in enumerate(seq):
                 self._fresh_n += 1
                 nxt = o if i == len(seq) - 1 else f"?__pp{self._fresh_n}"
                 subj, obj = (nxt, cur) if inv else (cur, nxt)
-                out.append((subj, PathPlus(pred) if plus else pred, obj))
+                out.append((subj, PathPlus(pred, mod) if mod else pred, obj))
                 cur = nxt
             return out
         preds = []
@@ -592,20 +603,27 @@ class _P:
             if t.group(0) == "}":
                 self.next()
                 break
-            if t.group(0).upper() == "UNDEF":
-                raise SparqlError("UNDEF not supported in VALUES")
             if len(vars_) == 1:
-                rows.append((str(self.term()),))
+                rows.append((self._values_cell(),))
             else:
                 self.expect("(")
                 row = []
                 while self.peek() is not None and self.peek().group(0) != ")":
-                    row.append(str(self.term()))
+                    row.append(self._values_cell())
                 self.expect(")")
                 if len(row) != len(vars_):
                     raise SparqlError("VALUES row arity mismatch")
                 rows.append(tuple(row))
         return (vars_, rows)
+
+    def _values_cell(self):
+        """One VALUES cell: a term, or UNDEF → None (unbound — the row
+        places no constraint on that variable)."""
+        t = self.peek()
+        if t is not None and t.group(0).upper() == "UNDEF":
+            self.next()
+            return None
+        return str(self.term())
 
     def _filter_expr(self) -> str:
         """Capture the parenthesized FILTER body verbatim, translating
@@ -716,10 +734,15 @@ def _construct_frame(df: DataFrame, template: list) -> DataFrame:
     return out.dropDuplicates(["subj", "pred", "obj", "obj_datatype", "obj_lang"])
 
 
-def _describe_frame(graph, df: Optional[DataFrame], nodes: list) -> DataFrame:
-    """DESCRIBE: all triples whose SUBJECT is a described node (the
-    simple outbound description; full CBD would chase bNodes — the
-    mapping mints stable bNode labels, so one hop suffices here)."""
+def _describe_frame(
+    graph, df: Optional[DataFrame], nodes: list, max_bnode_depth: int = 8
+) -> DataFrame:
+    """DESCRIBE with full Concise Bounded Description: all outbound
+    triples of the described nodes, plus — to a fixpoint — the outbound
+    triples of every blank node reached as an object (Jena CBD).  The
+    mapping mints stable `_:b…` labels, so bNode objects are detected
+    lexically; depth is bounded by `max_bnode_depth` (the mapping caps
+    real bNode depth far below it)."""
     from functools import reduce as _reduce
 
     from ont_d2rq_spark.graph import _is_var, _var_name
@@ -737,6 +760,29 @@ def _describe_frame(graph, df: Optional[DataFrame], nodes: list) -> DataFrame:
         else:
             frames.append(graph.find(s=str(term)))
     out = _reduce(lambda a, b: a.unionByName(b), frames)
+    # CBD fixpoint: chase bNode objects (each round = bNodes one level
+    # deeper; the frontier is tiny, so it is collected driver-side and
+    # fed back as a broadcast semi-join)
+    described: set = set()
+    for _ in range(max_bnode_depth):
+        frontier = {
+            r["obj"]
+            for r in out.filter(
+                ~F.col("is_literal") & F.col("obj").startswith("_:")
+            )
+            .select("obj")
+            .distinct()
+            .collect()
+        } - described
+        if not frontier:
+            break
+        described |= frontier
+        if all_t is None:
+            all_t = graph.triples(fuse=True)
+        bn = graph.spark.createDataFrame(
+            [(b,) for b in frontier], "subj string"
+        )
+        out = out.unionByName(all_t.join(F.broadcast(bn), "subj", "left_semi"))
     return out.dropDuplicates(["subj", "pred", "obj", "obj_datatype", "obj_lang"])
 
 
@@ -784,6 +830,33 @@ def _execute_query(graph, q: Query) -> DataFrame:
         else:
             shared = [c for c in df.columns if c in sdf.columns and not _is_companion(c)]
             df = df.join(sdf, on=shared, how="inner") if shared else df.crossJoin(sdf)
+
+    # GRAPH groups: evaluate each against its named graph (constant
+    # IRI) or the union of all named graphs (?g, bound per graph),
+    # then join on shared variables
+    for gterm, gpats in q.graphs:
+        from ont_d2rq_spark.graph import _is_var as _isv, _var_name as _vn
+
+        if _isv(gterm):
+            from functools import reduce as _reduce
+
+            parts = [
+                graph.graph_scoped_bgp(iri, gpats).withColumn(
+                    _vn(gterm), F.lit(iri)
+                )
+                for iri in graph.graph_names()
+            ]
+            gdf = _reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+        else:
+            gdf = graph.graph_scoped_bgp(str(gterm), gpats)
+        if df is None:
+            df = gdf
+        else:
+            shared = [c for c in df.columns if c in gdf.columns and not _is_companion(c)]
+            gdf = gdf.drop(*[c for c in gdf.columns if _is_companion(c) and c in df.columns])
+            df = df.join(gdf, on=shared, how="inner") if shared else df.crossJoin(gdf)
     if df is None:  # empty group = one empty solution (SPARQL algebra)
         df = graph.spark.range(1).select(F.lit(1).alias("_m"))
         # OPTIONAL over the unit solution (no basic patterns, no UNION):
@@ -793,17 +866,45 @@ def _execute_query(graph, q: Query) -> DataFrame:
             sub = graph.bgp(group)
             df = df.join(sub, F.lit(True), "left")
 
-    # VALUES: inline binding tables, broadcast-joined on shared vars
+    # VALUES: inline binding tables, broadcast-joined on shared vars.
+    # UNDEF cells (None) place no constraint on that variable in that
+    # row (SPARQL solution compatibility), so rows containing UNDEF
+    # take the compatibility-join path: per shared var, the VALUES cell
+    # must be unbound OR equal; the surviving binding coalesces.
     for vars_, rows in q.values_clauses:
         vdf = graph.spark.createDataFrame(
             rows, ", ".join(f"{v} string" for v in vars_)
         )
         shared = [c for c in df.columns if c in vars_]
-        df = (
-            df.join(F.broadcast(vdf), on=shared, how="inner")
-            if shared
-            else df.crossJoin(F.broadcast(vdf))
-        )
+        has_undef = any(cell is None for row in rows for cell in row)
+        if not has_undef:
+            df = (
+                df.join(F.broadcast(vdf), on=shared, how="inner")
+                if shared
+                else df.crossJoin(F.broadcast(vdf))
+            )
+            continue
+        vdf = vdf.select(*[F.col(v).alias(f"__val_{v}") for v in vars_])
+        if shared:
+            cond = None
+            for v in shared:
+                # either side unbound → compatible; both bound → equal
+                c = (
+                    F.col(f"__val_{v}").isNull()
+                    | F.col(v).isNull()
+                    | (F.col(v) == F.col(f"__val_{v}"))
+                )
+                cond = c if cond is None else cond & c
+            df = df.join(F.broadcast(vdf), cond, "inner")
+        else:
+            df = df.crossJoin(F.broadcast(vdf))
+        for v in vars_:
+            df = (
+                df.withColumn(v, F.coalesce(F.col(v), F.col(f"__val_{v}")))
+                if v in shared
+                else df.withColumn(v, F.col(f"__val_{v}"))
+            )
+        df = df.drop(*[f"__val_{v}" for v in vars_])
     # BIND: new columns (evaluated before FILTERs, see module doc)
     for expr, var in q.binds:
         df = _ensure_companions(df, expr)

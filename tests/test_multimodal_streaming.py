@@ -29,6 +29,34 @@ def test_decode_media_plumbing(spark):
     assert again[r["media_ref"]] == (r["width"], r["height"])
 
 
+def test_decode_batch_vectorized_matches_scalar_reference():
+    """The numpy-vectorized batch kernel must reproduce the scalar stub
+    semantics byte-for-byte (incl. empty content)."""
+    import pandas as pd
+
+    contents = [b"abc#image", b"", b"\x00\xff" * 7, bytes(range(200))]
+    pdf = pd.DataFrame(
+        {
+            "media_ref": [f"m{i}" for i in range(len(contents))],
+            "kind": ["image"] * len(contents),
+            "content": contents,
+        }
+    )
+    (out,) = list(MM.decode_media_batch(iter([pdf])))
+    for i, c in enumerate(contents):
+        w, h = MM._fake_decode(c)
+        assert (out["width"][i], out["height"][i]) == (w, h)
+        assert list(out["hist"][i]) == MM._fake_hist(c)
+        assert [round(float(x), 6) for x in out["feature"][i]] == [
+            round(x, 6) for x in MM._fake_feature(c)
+        ]
+        assert out["n_bytes"][i] == len(c)
+    # empty batch round-trips
+    empty = pdf.iloc[0:0]
+    (eout,) = list(MM.decode_media_batch(iter([empty])))
+    assert len(eout) == 0
+
+
 def test_resize_plan(spark):
     """Aspect-preserving fit: longest side capped, aspect ratio kept
     (within integer floor), never upscaled."""

@@ -1,0 +1,254 @@
+"""Round-3 SPARQL surface: p* / p? path modifiers, UNDEF in VALUES,
+GRAPH over named graphs, full-CBD DESCRIBE."""
+
+import pytest
+
+from ont_d2rq_spark.examples import tpch_mapping
+from ont_d2rq_spark.graph import VirtualGraph
+from ont_d2rq_spark.sparql import execute
+
+SF = "/root/testdata/sf0.001"
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    return VirtualGraph(tpch_mapping(SF), spark)
+
+
+# ---- p* / p? --------------------------------------------------------------
+
+
+def test_path_star_bound_subject(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ <{EX}nation/3> ex:inRegion* ?x }}""",
+    )
+    got = {r["x"] for r in df.collect()}
+    # zero hops = the nation itself; one hop = its region
+    assert f"{EX}nation/3" in got
+    assert len(got) == 2 and any(x.startswith(f"{EX}region/") for x in got)
+
+
+def test_path_star_var_var(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?x WHERE {{ ?n a ex:Nation . ?n ex:inRegion* ?x }}""",
+    )
+    rows = [(r["n"], r["x"]) for r in df.collect()]
+    assert len(rows) == 50  # 25 identity + 25 region hops
+    assert sum(1 for n, x in rows if n == x) == 25
+
+
+def test_path_opt(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?x WHERE {{ ?n a ex:Nation . ?n ex:inRegion? ?x }}""",
+    )
+    # depth-1 hierarchy: ? ≡ * here
+    assert df.count() == 50
+
+
+def test_path_star_closure_depth(spark):
+    """p* over a deep chain: closure rows + identity rows."""
+    from ont_d2rq_spark.graph import PathPlus, bgp_over_triples  # noqa: F401
+    from ont_d2rq_spark.operators.closure import transitive_closure
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(10)], "src string, dst string"
+    )
+    clo = transitive_closure(edges)
+    assert clo.count() == 10 * 11 // 2  # all (i<j) pairs on a chain
+
+
+def test_path_star_bound_object(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{ ?n ex:inRegion* <{EX}region/1> }}""",
+    )
+    got = {r["n"] for r in df.collect()}
+    assert f"{EX}region/1" in got  # zero-length
+    assert all(g.startswith((f"{EX}nation/", f"{EX}region/")) for g in got)
+    assert len(got) == 6  # the region itself + its 5 nations
+
+
+# ---- UNDEF in VALUES -------------------------------------------------------
+
+
+def test_values_undef_partial_binding(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT DISTINCT ?name ?rname WHERE {{
+            ?n a ex:Nation . ?n ex:name ?name .
+            ?n ex:inRegion ?r . ?r ex:name ?rname .
+            VALUES (?name ?rname) {{ ("NATION_2" UNDEF) (UNDEF "ASIA") }}
+        }}""",
+    )
+    rows = {(r["name"], r["rname"]) for r in df.collect()}
+    assert any(n == "NATION_2" for n, _ in rows)
+    asia = {n for n, r in rows if r == "ASIA"}
+    assert len(asia) == 5  # 5 nations per region
+    assert all(n == "NATION_2" or r == "ASIA" for n, r in rows)
+
+
+def test_values_undef_binds_unbound_var(graph):
+    # UNDEF row must NOT bind ?tag; the bound row must
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name ?tag WHERE {{
+            ?r a ex:Region . ?r ex:name ?name .
+            VALUES (?name ?tag) {{ ("ASIA" "east") ("EUROPE" UNDEF) }}
+        }}""",
+    )
+    rows = {(r["name"], r["tag"]) for r in df.collect()}
+    assert rows == {("ASIA", "east"), ("EUROPE", None)}
+
+
+# ---- GRAPH ------------------------------------------------------------------
+
+
+def test_graph_vocabulary_scope(graph):
+    df = execute(
+        graph,
+        """PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        SELECT ?cls WHERE {
+            GRAPH <urn:x-d2rq:graph:vocabulary> { ?cls a owl:Class }
+        }""",
+    )
+    classes = {r["cls"] for r in df.collect()}
+    assert EX + "Region" in classes and EX + "Customer" in classes
+    # data-graph instances must NOT appear in the vocabulary graph
+    assert not any("/region/" in c for c in classes)
+
+
+def test_graph_variable_binds_graph_name(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        SELECT DISTINCT ?g WHERE {{
+            GRAPH ?g {{ ?s a owl:Class }}
+        }}""",
+    )
+    got = {r["g"] for r in df.collect()}
+    assert got == {"urn:x-d2rq:graph:vocabulary"}  # no owl:Class in data
+
+
+def test_graph_unknown_iri_is_empty(graph):
+    df = execute(
+        graph,
+        """SELECT ?s WHERE { GRAPH <urn:x-d2rq:graph:nope> { ?s ?p ?o } }""",
+    )
+    assert df.count() == 0
+
+
+def test_graph_cross_graph_join(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        SELECT ?cls ?name WHERE {{
+            GRAPH <urn:x-d2rq:graph:vocabulary> {{ ?cls a owl:Class }}
+            GRAPH <urn:x-d2rq:graph:data> {{
+                ?x a ?cls . ?x ex:name ?name .
+                FILTER (name like 'NATION%')
+            }}
+        }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 25 and all(r["cls"] == EX + "Nation" for r in rows)
+
+
+# ---- full-CBD DESCRIBE -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bnode_graph(spark):
+    """customer → bNode(nation detail) → bNode(region detail) → literal:
+    a 2-level bNode chain so CBD must iterate to a fixpoint."""
+    from ont_d2rq_spark.mapping.model import (
+        ClassMap,
+        Database,
+        Join,
+        Mapping,
+        PropertyBridge,
+    )
+
+    m = Mapping(database=Database(base_dir=SF), base_iri=EX)
+    m.add_class_map(
+        ClassMap(
+            name="cust",
+            table="customer",
+            uri_pattern=EX + "customer/@@customer.c_custkey@@",
+            classes=[EX + "Customer"],
+        )
+    )
+    m.add_class_map(
+        ClassMap(
+            name="natB",
+            table="nation",
+            bnode_id_columns=["nation.n_nationkey"],
+            classes=[EX + "NationDetail"],
+        )
+    )
+    m.add_class_map(
+        ClassMap(
+            name="regB",
+            table="region",
+            bnode_id_columns=["region.r_regionkey"],
+            classes=[EX + "RegionDetail"],
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="cust.natDetail",
+            belongs_to_class_map="cust",
+            properties=[EX + "natDetail"],
+            refers_to_class_map="natB",
+            join=[Join("customer.c_nationkey", "nation.n_nationkey", "=>")],
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="natB.label",
+            belongs_to_class_map="natB",
+            properties=[EX + "label"],
+            column="nation.n_name",
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="natB.regDetail",
+            belongs_to_class_map="natB",
+            properties=[EX + "regDetail"],
+            refers_to_class_map="regB",
+            join=[Join("nation.n_regionkey", "region.r_regionkey", "=>")],
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="regB.label",
+            belongs_to_class_map="regB",
+            properties=[EX + "label"],
+            column="region.r_name",
+        )
+    )
+    return VirtualGraph(m, spark)
+
+
+def test_describe_full_cbd(bnode_graph):
+    df = execute(bnode_graph, f"DESCRIBE <{EX}customer/7>")
+    rows = df.collect()
+    subjects = {r["subj"] for r in rows}
+    # level 0: the customer; level 1: its nation bNode; level 2: region bNode
+    assert f"{EX}customer/7" in subjects
+    bnodes = {s for s in subjects if s.startswith("_:")}
+    assert len(bnodes) == 2, f"CBD must chase bNodes 2 levels, got {subjects}"
+    labels = {r["obj"] for r in rows if r["pred"] == EX + "label"}
+    assert len(labels) == 2  # one nation name + one region name
