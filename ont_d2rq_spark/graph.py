@@ -86,12 +86,27 @@ class PathPlus:
     graph (literal endpoints of zero-length paths are not emitted —
     companions aren't carried through closures)."""
 
-    def __init__(self, pred: str, mod: str = "+"):
+    def __init__(self, pred, mod: str = "+"):
         self.pred = pred
         self.mod = mod
 
     def __repr__(self):
         return f"PathPlus({self.pred!r}, {self.mod!r})"
+
+
+class PathGroup:
+    """A parenthesized path group `(p1/p2/…)` used as the base of a
+    repetition modifier — `(p1/p2)+` — carrying the group's expansion
+    as triple patterns between the fixed endpoints ?__cs → ?__co.  The
+    closure evaluator compiles the group with one bgp() call (inner
+    PathPlus atoms recurse), then iterates over the resulting composite
+    edge set."""
+
+    def __init__(self, patterns: list):
+        self.patterns = patterns
+
+    def __repr__(self):
+        return f"PathGroup({self.patterns!r})"
 
 
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
@@ -508,9 +523,14 @@ class VirtualGraph:
         companions are not carried through the closure."""
         from ont_d2rq_spark.operators.closure import transitive_closure
 
-        base = self.bgp([("?__cs", pth.pred, "?__co")]).select(
-            F.col("__cs").alias("src"), F.col("__co").alias("dst")
-        )
+        if isinstance(pth.pred, PathGroup):
+            base = self.bgp(pth.pred.patterns).select(
+                F.col("__cs").alias("src"), F.col("__co").alias("dst")
+            )
+        else:
+            base = self.bgp([("?__cs", pth.pred, "?__co")]).select(
+                F.col("__cs").alias("src"), F.col("__co").alias("dst")
+            )
         mod = getattr(pth, "mod", "+")
         df = base.distinct() if mod == "?" else transitive_closure(base)
         if mod in ("*", "?"):

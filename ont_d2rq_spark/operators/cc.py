@@ -141,6 +141,7 @@ def canonicalize_sameas(
     dst: str = "dst",
     max_iterations: int = 20,
     alias_prefix: str = None,
+    check_every: int = 1,
 ) -> DataFrame:
     """sameAs edge list → (uri, canonical_uri) mapping, including the
     canonical member mapping to itself.  Apply with a broadcast or
@@ -149,7 +150,9 @@ def canonicalize_sameas(
     ``alias_prefix``: URIs starting with it (mention-alias nodes) are
     demoted when electing the component representative, so the canonical
     id is a real entity URI whenever one is in the component."""
-    cc = connected_components(triples_or_edges, src, dst, max_iterations)
+    cc = connected_components(
+        triples_or_edges, src, dst, max_iterations, check_every=check_every
+    )
     if alias_prefix is None:
         return cc.select(
             F.col("node").alias("uri"), F.col("component").alias("canonical_uri")

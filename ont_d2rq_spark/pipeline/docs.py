@@ -344,7 +344,14 @@ def build_kg(
         sameas = raw.filter(F.col("pred") == OWL_SAMEAS).select(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
-        return canonicalize_sameas(sameas, alias_prefix=EX + "entity/")
+        # check_every=2: the alias graph is star-shaped (converges in
+        # 1-2 star rounds), so skipping every other convergence
+        # fingerprint halves the serial barrier count — the floor that
+        # dominates scaling at high core counts — at worst one extra
+        # (cheap, already-converged) round
+        return canonicalize_sameas(
+            sameas, alias_prefix=EX + "entity/", check_every=2
+        )
 
     canon = stage("canonical_map", compute_canon)
     final = rewrite_triples_canonical(

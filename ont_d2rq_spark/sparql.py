@@ -158,6 +158,13 @@ class SparqlError(ValueError):
     pass
 
 
+class _GroupAtom:
+    """Parser-internal: a parenthesized path group's alternatives."""
+
+    def __init__(self, alts):
+        self.alts = alts
+
+
 class _P:
     def __init__(self, text: str):
         self.toks = []
@@ -453,13 +460,18 @@ class _P:
         return term
 
     # ---- property paths (pred position): ^inv, p1/p2 sequence,
-    #      p1|p2 alternation, p+ / p* / p? repetition ---------------------
+    #      p1|p2 alternation, p+ / p* / p? repetition, (group) ------------
     def _path_atom(self):
         inv = False
         if self.peek() is not None and self.peek().group(0) == "^":
             self.next()
             inv = True
-        t = self.term()
+        if self.peek() is not None and self.peek().group(0) == "(":
+            self.next()
+            t = _GroupAtom(self._path())
+            self.expect(")")
+        else:
+            t = self.term()
         mod = None
         if self.peek() is not None and self.peek().group(0) in ("+", "*", "?"):
             mod = self.next().group(0)
@@ -480,9 +492,12 @@ class _P:
 
     def _expand_path(self, s, alts, o) -> list:
         """Path → plain triple patterns: sequences chain through fresh
-        variables, ^ swaps s/o, p+ becomes a PathPlus marker the BGP
-        compiler evaluates as a transitive closure."""
-        from ont_d2rq_spark.graph import PathPlus
+        variables, ^ swaps s/o, repetition modifiers become PathPlus
+        markers the BGP compiler evaluates as a transitive closure;
+        parenthesized groups splice inline (no modifier) or become a
+        PathGroup closure base — `(p1/p2)+` iterates over the group's
+        composite edge set."""
+        from ont_d2rq_spark.graph import PathGroup, PathPlus
 
         if len(alts) == 1:
             out = []
@@ -491,13 +506,30 @@ class _P:
             for i, (pred, inv, mod) in enumerate(seq):
                 self._fresh_n += 1
                 nxt = o if i == len(seq) - 1 else f"?__pp{self._fresh_n}"
+                if isinstance(pred, _GroupAtom):
+                    galts = pred.alts
+                    if inv:
+                        # ^(a/b) ≡ ^b/^a — reverse atoms, flip each inv
+                        galts = [
+                            [(p, not iv, m) for (p, iv, m) in reversed(sq)]
+                            for sq in galts
+                        ]
+                    if mod:
+                        gpats = self._expand_path("?__cs", galts, "?__co")
+                        out.append((cur, PathPlus(PathGroup(gpats), mod), nxt))
+                    else:
+                        out.extend(self._expand_path(cur, galts, nxt))
+                    cur = nxt
+                    continue
                 subj, obj = (nxt, cur) if inv else (cur, nxt)
                 out.append((subj, PathPlus(pred, mod) if mod else pred, obj))
                 cur = nxt
             return out
         preds = []
         for seq in alts:
-            if len(seq) != 1 or seq[0][1] or seq[0][2]:
+            if len(seq) != 1 or seq[0][1] or seq[0][2] or isinstance(
+                seq[0][0], _GroupAtom
+            ):
                 raise SparqlError(
                     "path alternation supports plain predicates only (p1|p2)"
                 )

@@ -109,11 +109,17 @@ def test_union(graph):
 
 def test_unsupported_raises():
     with pytest.raises(SparqlError):
-        parse("SELECT ?x WHERE { GRAPH <g> { ?s ?p ?x } }")
+        parse("SELECT ?x WHERE { SERVICE <http://e/sparql> { ?s ?p ?x } }")
     with pytest.raises(SparqlError):  # mixed alternation branches
         parse("PREFIX ex: <http://e/> SELECT ?x WHERE { ?x ex:a/ex:b|ex:c ?y }")
-    with pytest.raises(SparqlError):
-        parse("SELECT ?x WHERE { VALUES ?x { UNDEF } }")
+
+
+def test_formerly_unsupported_now_parse():
+    # round 3: GRAPH and UNDEF graduated from the raise list
+    q = parse("SELECT ?x WHERE { GRAPH <urn:g> { ?s ?p ?x } }")
+    assert len(q.graphs) == 1 and not q.patterns
+    q2 = parse("SELECT ?x WHERE { VALUES ?x { UNDEF } }")
+    assert q2.values_clauses == [(["x"], [(None,)])]
 
 
 def test_group_by_aggregates(graph):

@@ -76,6 +76,71 @@ def test_path_star_bound_object(graph):
     assert len(got) == 6  # the region itself + its 5 nations
 
 
+# ---- parenthesized path groups ---------------------------------------------
+
+
+def test_path_group_splice_equals_sequence(graph):
+    grouped = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?c ?r WHERE {{ ?c (ex:inNation/ex:inRegion) ?r .
+                              FILTER(?c like '%customer%') }}""",
+    )
+    plain = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?c ?r WHERE {{ ?c ex:inNation/ex:inRegion ?r .
+                              FILTER(?c like '%customer%') }}""",
+    )
+    assert sorted(map(tuple, grouped.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    assert grouped.count() == 150
+
+
+def test_path_group_closure(graph):
+    # (inNation/inRegion)+ — composite edge set customer→region is
+    # depth-1 (regions have no outgoing inNation), so + ≡ one hop; the
+    # group still compiles through the PathGroup closure machinery
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?c ?r WHERE {{ ?c (ex:inNation/ex:inRegion)+ ?r .
+                              FILTER(?c like '%customer%') }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 150
+    assert all(r["r"].startswith(f"{EX}region/") for r in rows)
+
+
+def test_path_group_inverse(graph):
+    fwd = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?c WHERE {{ ?c (ex:inNation/ex:inRegion) <{EX}region/1> .
+                           FILTER(?c like '%customer%') }}""",
+    )
+    inv = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?c WHERE {{ <{EX}region/1> ^(ex:inNation/ex:inRegion) ?c .
+                           FILTER(?c like '%customer%') }}""",
+    )
+    assert {r["c"] for r in fwd.collect()} == {r["c"] for r in inv.collect()}
+    assert fwd.count() > 0
+
+
+def test_path_group_star(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ <{EX}customer/7> (ex:inNation/ex:inRegion)* ?x }}""",
+    )
+    got = {r["x"] for r in df.collect()}
+    assert f"{EX}customer/7" in got  # zero-length identity
+    assert len(got) == 2 and any(x.startswith(f"{EX}region/") for x in got)
+
+
 # ---- UNDEF in VALUES -------------------------------------------------------
 
 
