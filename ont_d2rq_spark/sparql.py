@@ -18,13 +18,17 @@ here the residual ops are native DataFrame ops):
       triple patterns '.'-separated;  { A } UNION { B } groups;
       FILTER (<expr>)            — Spark-SQL booleans over vars plus the
                                    SPARQL builtins regex()/str()/lang()/
-                                   datatype()/bound(), translated to
-                                   Catalyst expressions
+                                   datatype()/bound()/isLiteral()/isIRI()/
+                                   STRSTARTS/STRENDS/STRLEN/UCASE/LCASE/
+                                   CONTAINS/SUBSTR/langMatches, translated
+                                   to Catalyst expressions
+      FILTER [NOT] EXISTS { triple patterns }  — semi/anti join
       OPTIONAL { triple patterns }
       MINUS { triple patterns }  — anti-join on the shared variables
       BIND (<expr> AS ?v)
       VALUES ?v { t1 t2 ... } | VALUES (?v ?w) { (t1 t2) ... }
       { SELECT ... WHERE { ... } ... }  — subquery, joined on shared vars
+      GRAPH (<iri> | ?g) { ... }  — named-graph scope (data / vocabulary)
   }
   [GROUP BY ?v ...] [HAVING (<expr over aliases>) ...]
   [ORDER BY [ASC|DESC](?v) ...] [LIMIT n] [OFFSET n]
@@ -40,11 +44,13 @@ numbers, ?var / $var, and 'a' for rdf:type.
 
 Property paths (predicate position): ^p inverse, p1/p2 sequence
 (rewritten through fresh join variables), p1|p2 alternation (union of
-bridge candidates), p+ one-or-more (distributed transitive closure,
-operators/closure.py).
+bridge candidates), p+ / p* / p? repetition (distributed transitive
+closure, operators/closure.py), parenthesized groups — inline splice
+or `(p1/p2)+` composite-edge closure.  VALUES supports UNDEF (NULL
+cell + null-safe join).  DESCRIBE emits the full Concise Bounded
+Description (bNode fixpoint expansion).
 
-Not supported (raise): p* / p? path modifiers, nested path groups,
-GRAPH/SERVICE, UNDEF in VALUES.
+Not supported (raise): SERVICE (no network), negated property sets.
 """
 
 from __future__ import annotations
@@ -91,6 +97,32 @@ def _rewrite_builtins(expr: str) -> str:
     e = re.sub(r"\bisliteral\s*\(\s*(\w+)\s*\)", r"coalesce(\1__islit, false)", e, flags=re.I)
     e = re.sub(r"\bisiri\s*\(\s*(\w+)\s*\)", r"(NOT coalesce(\1__islit, false))", e, flags=re.I)
     e = re.sub(r"\bstr\s*\(\s*(\w+)\s*\)", r"\1", e, flags=re.I)
+    # string builtins → Spark SQL names (SUBSTR/CONCAT/REPLACE/ABS/ROUND/
+    # CEIL/FLOOR/COALESCE/IF are spelled identically and pass through)
+    e = re.sub(r"\bstrstarts\s*\(", "startswith(", e, flags=re.I)
+    e = re.sub(r"\bstrends\s*\(", "endswith(", e, flags=re.I)
+    e = re.sub(r"\bstrlen\s*\(", "length(", e, flags=re.I)
+    e = re.sub(r"\bucase\s*\(", "upper(", e, flags=re.I)
+    e = re.sub(r"\blcase\s*\(", "lower(", e, flags=re.I)
+
+    def _lang_matches(m):
+        arg = m.group(1)
+        rng = strings[int(m.group(2))]
+        if rng[1:-1] == "*":  # langMatches(x, "*"): any non-empty tag
+            return f"({arg} <> '')"
+        low = rng[0] + rng[1:-1].lower() + rng[-1]
+        strings.append(low)
+        exact = f"lower({arg}) = \x00{len(strings) - 1}\x00"
+        pref = rng[0] + rng[1:-1].lower() + "-" + rng[-1]
+        strings.append(pref)
+        return f"({exact} OR startswith(lower({arg}), \x00{len(strings) - 1}\x00))"
+
+    e = re.sub(
+        r"\blangmatches\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*,\s*\x00(\d+)\x00\s*\)",
+        _lang_matches,
+        e,
+        flags=re.I,
+    )
 
     def _rx(m):
         var = m.group(1)
@@ -152,6 +184,7 @@ class Query:
     describe: list[str] = field(default_factory=list)  # DESCRIBE nodes
     subqueries: list["Query"] = field(default_factory=list)
     graphs: list[tuple] = field(default_factory=list)  # (graph term, patterns)
+    exists: list[tuple] = field(default_factory=list)  # (negated, patterns)
 
 
 class SparqlError(ValueError):
@@ -346,6 +379,21 @@ class _P:
                 continue
             if g.upper() == "FILTER":
                 self.next()
+                nxt = self.peek()
+                # FILTER [NOT] EXISTS { … } → semi/anti join on the
+                # shared variables (the unparenthesized common form)
+                if nxt is not None and nxt.group(0).upper() in ("EXISTS", "NOT"):
+                    neg = nxt.group(0).upper() == "NOT"
+                    self.next()
+                    if neg:
+                        ex = self.next()
+                        if ex is None or ex.group(0).upper() != "EXISTS":
+                            raise SparqlError("expected EXISTS after FILTER NOT")
+                    self.expect("{")
+                    grp: list = []
+                    self._group(grp, q)
+                    q.exists.append((neg, grp))
+                    continue
                 q.filters.append(self._filter_expr())
                 continue
             if g.upper() == "OPTIONAL":
@@ -944,6 +992,18 @@ def _execute_query(graph, q: Query) -> DataFrame:
     for f in q.filters:
         df = _ensure_companions(df, f)
         df = df.filter(F.expr(f))
+    # FILTER [NOT] EXISTS: semi/anti join on shared variables; with no
+    # shared variables the group acts as a global non-emptiness gate
+    # (unlike MINUS, NOT EXISTS on disjoint domains still filters)
+    for neg, group in q.exists:
+        sub = graph.bgp(group)
+        shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
+        how = "left_anti" if neg else "left_semi"
+        if shared:
+            df = df.join(sub.select(*shared), on=shared, how=how)
+        else:
+            df = df.join(sub, F.lit(True), how)
+
     # MINUS: anti-join on shared variables (no shared vars → no-op,
     # per SPARQL MINUS semantics on disjoint domains)
     for group in q.minus:

@@ -230,6 +230,109 @@ def test_graph_cross_graph_join(graph):
     assert len(rows) == 25 and all(r["cls"] == EX + "Nation" for r in rows)
 
 
+# ---- string builtins ---------------------------------------------------------
+
+
+def test_string_builtins(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name WHERE {{
+            ?r a ex:Region . ?r ex:name ?name .
+            FILTER (STRSTARTS(?name, "A") && STRLEN(?name) = 4 &&
+                    CONTAINS(LCASE(?name), "sia"))
+        }}""",
+    )
+    assert [r["name"] for r in df.collect()] == ["ASIA"]
+
+
+def test_strends_ucase_substr(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name WHERE {{
+            ?n a ex:Nation . ?n ex:name ?name .
+            FILTER (STRENDS(UCASE(?name), "_2") || SUBSTR(?name, 8) = "19")
+        }} ORDER BY ?name""",
+    )
+    assert [r["name"] for r in df.collect()] == ["NATION_19", "NATION_2"]
+
+
+def test_lang_matches(graph):
+    hits = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name WHERE {{
+            ?c a ex:Customer . ?c ex:name ?name .
+            FILTER (langMatches(lang(?name), "EN"))
+        }}""",
+    )
+    assert hits.count() == 150  # customer names are @en
+    misses = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name WHERE {{
+            ?c a ex:Customer . ?c ex:name ?name .
+            FILTER (langMatches(lang(?name), "fr"))
+        }}""",
+    )
+    assert misses.count() == 0
+    star = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name WHERE {{
+            ?c a ex:Customer . ?c ex:name ?name .
+            FILTER (langMatches(lang(?name), "*"))
+        }}""",
+    )
+    assert star.count() == 150
+
+
+# ---- FILTER EXISTS / NOT EXISTS ----------------------------------------------
+
+
+def test_filter_exists_and_not_exists(graph):
+    # regions that have at least one nation vs none (all 5 have some)
+    has = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn WHERE {{
+            ?r a ex:Region . ?r ex:name ?rn .
+            FILTER EXISTS {{ ?n ex:inRegion ?r }}
+        }}""",
+    )
+    assert has.count() == 5
+    none = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn WHERE {{
+            ?r a ex:Region . ?r ex:name ?rn .
+            FILTER NOT EXISTS {{ ?n ex:inRegion ?r }}
+        }}""",
+    )
+    assert none.count() == 0
+    # correlated NOT EXISTS that actually prunes: nations named NATION_2
+    pruned = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name WHERE {{
+            ?n a ex:Nation . ?n ex:name ?name .
+            FILTER NOT EXISTS {{ ?c ex:inNation ?n }}
+        }}""",
+    )
+    # every nation has customers/suppliers at this sf
+    assert pruned.count() == 0
+    semi = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name WHERE {{
+            ?n a ex:Nation . ?n ex:name ?name .
+            FILTER EXISTS {{ ?c ex:inNation ?n }}
+        }}""",
+    )
+    assert semi.count() == 25
+
+
 # ---- full-CBD DESCRIBE -------------------------------------------------------
 
 
