@@ -178,7 +178,14 @@ class MappingCompiler:
         else:
             from ont_d2rq_spark.sources.tables import balanced_read
 
-            df = balanced_read(self.spark, self.mapping.database.path_for(name))
+            db = self.mapping.database
+            df = balanced_read(
+                self.spark,
+                db.path_for(name),
+                fmt=db.table_formats.get(name),
+                schema=db.table_schemas.get(name),
+                options=db.table_options.get(name),
+            )
         # d2rq column-type overrides (d2rq:dateColumn etc., SURVEY §1.2)
         for qcol, xsd in self.mapping.database.column_types.items():
             t, c = qcol.split(".", 1)

@@ -94,6 +94,25 @@ class PathPlus:
         return f"PathPlus({self.pred!r}, {self.mod!r})"
 
 
+class NegatedSet:
+    """SPARQL negated property set `!p` / `!(p1|p2|^q)` in predicate
+    position: matches any edge whose predicate is NOT one of the listed
+    IRIs.  ``fwd``/``inv`` are tuples of absolute predicate IRIs; the
+    parser (sparql.py) rejects mixed forward/inverse sets, so exactly
+    one of the two is non-empty.  bgp() evaluates it by rewriting the
+    pattern to an internal predicate variable (inverse members swap
+    subject/object first) and post-filtering that column with NOT IN —
+    the exclusion list is tiny, so Catalyst keeps the filter adjacent
+    to the pattern's union frame."""
+
+    def __init__(self, fwd=(), inv=()):
+        self.fwd = tuple(fwd)
+        self.inv = tuple(inv)
+
+    def __repr__(self):
+        return f"NegatedSet(fwd={self.fwd!r}, inv={self.inv!r})"
+
+
 class PathGroup:
     """A parenthesized path group `(p1/p2/…)` used as the base of a
     repetition modifier — `(p1/p2)+` — carrying the group's expansion
@@ -189,6 +208,49 @@ def _is_companion(col: str) -> bool:
     each variable (v__dt / v__lang / v__islit) so FILTER builtins
     (lang(), datatype()) have something to evaluate against."""
     return col.endswith(_COMPANION_SUFFIXES)
+
+
+_COMP_TOKEN = re.compile(r"\b\w+?__(?:dt|lang|islit)\b")
+
+
+def optional_join(left: DataFrame, right: DataFrame, filters=()) -> DataFrame:
+    """SPARQL LeftJoin(Ω1, Ω2, expr): a right solution joins a left one
+    when they are compatible on the shared variables AND every filter
+    expression holds over the MERGED row; left solutions with no such
+    match survive with the right-side variables unbound.  This is the
+    scoped evaluation of a FILTER written inside an OPTIONAL group —
+    the filter may reference variables from either side, and a failing
+    filter un-binds the optional part instead of dropping the row
+    (the classic leftjoin-vs-filter distinction).
+
+    With no filters this degrades to the plain shared-variable left
+    join (constant-true condition when the domains are disjoint, which
+    preserves left rows against an empty right side)."""
+    shared = [c for c in left.columns if c in right.columns and not _is_companion(c)]
+    right = right.drop(
+        *[c for c in right.columns if _is_companion(c) and c in left.columns]
+    )
+    # companions referenced by a filter but produced by neither side
+    # default to NULL / false (untyped binding)
+    for tok in {t for f in filters for t in _COMP_TOKEN.findall(f)}:
+        if tok not in left.columns and tok not in right.columns:
+            right = right.withColumn(
+                tok,
+                F.lit(False) if tok.endswith("__islit") else F.lit(None).cast("string"),
+            )
+    if not filters:
+        if shared:
+            return left.join(right, on=shared, how="left")
+        return left.join(right, F.lit(True), "left")
+    ren = {c: "__lj_" + c for c in shared}
+    for c, rc in ren.items():
+        right = right.withColumnRenamed(c, rc)
+    cond = F.lit(True)
+    for c, rc in ren.items():
+        cond = cond & (F.col(c) == F.col(rc))
+    for f in filters:
+        cond = cond & F.expr(f)
+    return left.join(right, cond, "left").drop(*ren.values())
 
 
 class VirtualGraph:
@@ -593,8 +655,26 @@ class VirtualGraph:
         the pushable subset of SPARQL FILTER (Catalyst pushes them into
         the joins/scans where possible; the reference translates the
         same subset to SQL via TransformExprToSQLApplyer).
-        ``optional``: a list of OPTIONAL groups (each its own pattern
-        list) left-joined on the shared variables — SPARQL OPTIONAL."""
+        ``optional``: a list of OPTIONAL groups — each a pattern list,
+        or a (patterns, filters) tuple whose filters are scoped to the
+        group (evaluated inside the LeftJoin condition, SPARQL
+        leftjoin semantics) — left-joined on the shared variables."""
+        # negated property sets → internal predicate variable + NOT IN
+        # post-filter (inverse-only sets swap subject/object); the
+        # internal column is dropped before returning, so the rewrite
+        # is invisible to callers and composes inside OPTIONAL/EXISTS
+        neg_filters: list[tuple[str, tuple]] = []
+        rewritten: list[tuple] = []
+        for s, p, o in patterns:
+            if isinstance(p, NegatedSet):
+                name = f"__np{len(neg_filters)}"
+                if p.inv:
+                    s, o = o, s
+                rewritten.append((s, f"?{name}", o))
+                neg_filters.append((name, p.inv or p.fwd))
+            else:
+                rewritten.append((s, p, o))
+        patterns = rewritten
         closure_frames: dict[int, DataFrame] = {}
         meta: dict[int, list] = {}
         for idx, (s, p, o) in enumerate(patterns):
@@ -683,8 +763,15 @@ class VirtualGraph:
         out = frames[0]
         for nxt in frames[1:]:
             out = _merge(out, nxt, "inner")
+        for name, excl in neg_filters:
+            out = out.filter(~F.col(name).isin(*excl)).drop(
+                name, *[name + sfx for sfx in _COMPANION_SUFFIXES]
+            )
         for group in optional or []:
-            out = _merge(out, self.bgp(group), "left")
+            # entry: plain pattern list, or (patterns, group-scoped
+            # filters) — filters evaluate inside the LeftJoin condition
+            pats, filts = group if isinstance(group, tuple) else (group, [])
+            out = optional_join(out, self.bgp(pats), filts)
         for f in filters or []:
             out = out.filter(F.expr(f))
         return out

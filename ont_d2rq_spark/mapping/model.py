@@ -100,6 +100,13 @@ class Database:
     name: str = "db"
     base_dir: Optional[str] = None
     tables: dict[str, str] = field(default_factory=dict)  # table -> path
+    # per-table source format ("csv"/"json"/"orc"/"parquet"; default
+    # inferred from the path extension), reader options, and an explicit
+    # DDL schema — give csv/json tables a schema at scale or Spark's
+    # inference adds a full pre-scan of the source
+    table_formats: dict[str, str] = field(default_factory=dict)
+    table_options: dict[str, dict] = field(default_factory=dict)
+    table_schemas: dict[str, str] = field(default_factory=dict)
     column_types: dict[str, str] = field(default_factory=dict)  # "t.c" -> xsd local name
     startup_sql: list[str] = field(default_factory=list)
     result_size_limit: Optional[int] = None

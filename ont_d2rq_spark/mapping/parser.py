@@ -145,6 +145,9 @@ def load_mapping_dict(doc: dict) -> Mapping:
         name=db_spec.pop("name", "db"),
         base_dir=db_spec.pop("base_dir", None),
         tables=db_spec.pop("tables", {}) or {},
+        table_formats=db_spec.pop("table_formats", {}) or {},
+        table_options=db_spec.pop("table_options", {}) or {},
+        table_schemas=db_spec.pop("table_schemas", {}) or {},
         column_types=db_spec.pop("column_types", {}) or {},
         startup_sql=_as_list(db_spec.pop("startupSQLScript", None)),
         result_size_limit=db_spec.pop("resultSizeLimit", None),

@@ -1043,6 +1043,44 @@ WHERE n_name = 'NATION_2' OR r_name = 'ASIA'
 """
 
 
+def q_sparql_exists(spark, sf_dir):
+    """FILTER EXISTS (semi join) + FILTER NOT EXISTS (anti join) + a
+    negated property set in one query: customers whose nation hosts at
+    least one supplier but who placed no (non-pending) orders.  The
+    negated set `!(name|a|acctbal|marketSegment|display)` collapses to
+    the single remaining customer predicate, ex:inNation — evaluated as
+    an internal predicate variable with a NOT IN post-filter
+    (graph.NegatedSet); the orders classmap's d2rq:condition
+    (o_orderstatus <> 'P') scopes the anti join, so 'no orders' means
+    'no non-pending orders' on both engines."""
+    from ont_d2rq_spark.sparql import execute
+
+    g = _graph(spark, sf_dir)
+    return execute(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?cname WHERE {
+            ?c a ex:Customer . ?c ex:name ?cname .
+            ?c !(ex:name|a|ex:acctbal|ex:marketSegment|ex:display) ?n .
+            FILTER EXISTS { ?s a ex:Supplier . ?s ex:inNation ?n }
+            FILTER NOT EXISTS { ?o ex:placedBy ?c }
+        }
+        """,
+    )
+
+
+SQL_SPARQL_EXISTS = """
+SELECT c_name AS cname
+FROM customer
+WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderstatus <> 'P'
+  )
+"""
+
+
 def q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window aggregation over the events stream
     table — the batch shape of the Structured Streaming path (§2.9);
@@ -1784,6 +1822,7 @@ QUERIES = {
     "sparql_path_star": q_sparql_path_star,
     "sparql_graph": q_sparql_graph,
     "sparql_values_undef": q_sparql_values_undef,
+    "sparql_exists": q_sparql_exists,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "agg_count_distinct": q_agg_count_distinct,
@@ -1793,11 +1832,13 @@ QUERIES = {
     "connected_components": q_connected_components,
     "doc_quality": q_doc_quality,
     "doc_language_id": q_doc_language_id,
-    "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "minhash_dedup": q_minhash_dedup,
     "simhash_near_dup": q_simhash_near_dup,
     # ---- tail: redundant plan shapes, outside the driver's 50-row window ----
+    # (embedding_near_dup is the labeled O(n²) exactness baseline — its
+    # scale-true LSH twin keeps the driver-visible row)
+    "embedding_near_dup": q_embedding_near_dup,
     "doc_clean": q_doc_clean,
     "doc_fingerprint": q_doc_fingerprint,
     "pattern_literal": q_pattern_literal,
@@ -1847,6 +1888,7 @@ def oracles() -> dict[str, str]:
         "sparql_path_star": SQL_SPARQL_PATH_STAR,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_values_undef": SQL_SPARQL_VALUES_UNDEF,
+        "sparql_exists": SQL_SPARQL_EXISTS,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
         "agg_count_distinct": SQL_AGG_COUNT_DISTINCT,

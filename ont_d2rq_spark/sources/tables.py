@@ -31,13 +31,47 @@ def _path_bytes(path: str) -> int:
     return total
 
 
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+}
+
+
 def balanced_read(
     spark: SparkSession,
     path: str,
     min_split_bytes: int = 1 << 20,
     target_partitions: int | None = None,
+    fmt: str | None = None,
+    schema: str | None = None,
+    options: dict | None = None,
 ) -> DataFrame:
-    df = spark.read.parquet(path)
+    """Load a mapped table from any Spark file source.
+
+    Format is taken from ``fmt`` or inferred from the path extension
+    (the reference's analogue is the JDBC driver choice in
+    map/Database; here a D2RQ "database" is a directory of files).
+    ``schema`` is a DDL string — REQUIRED practice for csv/json at
+    scale: without it Spark schema-inference runs an extra full scan
+    of the source before the real job."""
+    if fmt is None:
+        base = path[:-1] if path.endswith("/") else path
+        fmt = _EXT_FORMAT.get(os.path.splitext(base)[1].lower(), "parquet")
+    opts = dict(options or {})
+    if fmt == "csv":
+        opts.setdefault("header", "true")
+        if path.rstrip("/").endswith(".tsv"):
+            opts.setdefault("sep", "\t")
+        if schema is None:
+            opts.setdefault("inferSchema", "true")
+    reader = spark.read.format(fmt).options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
     if target_partitions is None:
         target_partitions = spark.sparkContext.defaultParallelism
     try:

@@ -20,11 +20,19 @@ here the residual ops are native DataFrame ops):
                                    SPARQL builtins regex()/str()/lang()/
                                    datatype()/bound()/isLiteral()/isIRI()/
                                    STRSTARTS/STRENDS/STRLEN/UCASE/LCASE/
-                                   CONTAINS/SUBSTR/langMatches, translated
-                                   to Catalyst expressions
+                                   CONTAINS/SUBSTR/langMatches/STRBEFORE/
+                                   STRAFTER/REPLACE (regex)/CONCAT/
+                                   ENCODE_FOR_URI/IRI/MD5/SHA1/SHA256,
+                                   translated to Catalyst expressions
       FILTER [NOT] EXISTS { triple patterns }  — semi/anti join
-      OPTIONAL { triple patterns }
-      MINUS { triple patterns }  — anti-join on the shared variables
+      OPTIONAL { triple patterns [FILTER...] }  — FILTERs written inside
+                                   the braces scope to the LeftJoin
+                                   condition (failing filter un-binds
+                                   the optional part, SPARQL leftjoin)
+      MINUS { triple patterns [FILTER...] }  — anti-join on the shared
+                                   variables; inner FILTERs scope to
+                                   the group (same for UNION branches,
+                                   EXISTS and GRAPH groups)
       BIND (<expr> AS ?v)
       VALUES ?v { t1 t2 ... } | VALUES (?v ?w) { (t1 t2) ... }
       { SELECT ... WHERE { ... } ... }  — subquery, joined on shared vars
@@ -36,7 +44,12 @@ here the residual ops are native DataFrame ops):
 
 Aggregates: COUNT(*) / COUNT(?v) / COUNT(DISTINCT ?v) / SUM / AVG /
 MIN / MAX (SUM/AVG cast the lexical binding to double; MIN/MAX compare
-the lexical form).  BINDs evaluate before FILTERs within a group.
+the lexical form) / GROUP_CONCAT([DISTINCT] ?v; SEPARATOR="s") /
+SAMPLE(?v).  GROUP_CONCAT sorts members before joining and SAMPLE
+takes the minimum — SPARQL leaves both unspecified; this engine picks
+the deterministic representative so results are reproducible across
+partitionings (and replayable by the DuckDB oracle).  BINDs evaluate
+before FILTERs within a group.
 
 Terms: <iri>, pfx:local, "literal" (@lang / ^^dt make the bound term a
 TYPED literal — datatype/lang must unify, TypedNodeMaker semantics),
@@ -46,11 +59,13 @@ Property paths (predicate position): ^p inverse, p1/p2 sequence
 (rewritten through fresh join variables), p1|p2 alternation (union of
 bridge candidates), p+ / p* / p? repetition (distributed transitive
 closure, operators/closure.py), parenthesized groups — inline splice
-or `(p1/p2)+` composite-edge closure.  VALUES supports UNDEF (NULL
-cell + null-safe join).  DESCRIBE emits the full Concise Bounded
-Description (bNode fixpoint expansion).
+or `(p1/p2)+` composite-edge closure, `!p` / `!(p1|^p2)` negated
+property sets (forward-only or inverse-only member lists).  VALUES
+supports UNDEF (NULL cell + null-safe join).  DESCRIBE emits the full
+Concise Bounded Description (bNode fixpoint expansion).
 
-Not supported (raise): SERVICE (no network), negated property sets.
+Not supported (raise): SERVICE (no network), mixed forward/inverse
+negated property sets, repetition over a negated set.
 """
 
 from __future__ import annotations
@@ -65,7 +80,7 @@ from pyspark.sql import functions as F
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
-_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
 
 _COMP_RE = re.compile(r"\b\w+?__(?:dt|lang|islit)\b")
 
@@ -104,6 +119,44 @@ def _rewrite_builtins(expr: str) -> str:
     e = re.sub(r"\bstrlen\s*\(", "length(", e, flags=re.I)
     e = re.sub(r"\bucase\s*\(", "upper(", e, flags=re.I)
     e = re.sub(r"\blcase\s*\(", "lower(", e, flags=re.I)
+    # SPARQL REPLACE is regex-based (fn:replace), unlike Spark's literal
+    # replace()
+    e = re.sub(r"\breplace\s*\(", "regexp_replace(", e, flags=re.I)
+    e = re.sub(r"\bsha256\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)", r"sha2(\1, 256)", e, flags=re.I)
+    # ENCODE_FOR_URI: RFC3986 percent-encoding — url_encode is form
+    # encoding, so space comes back '+' and must be mapped to %20
+    e = re.sub(
+        r"\bencode_for_uri\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)",
+        r"replace(url_encode(\1), '+', '%20')",
+        e,
+        flags=re.I,
+    )
+    # IRI()/URI(): node values are lexical strings in this engine
+    e = re.sub(r"\b(?:iri|uri)\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)", r"(\1)", e, flags=re.I)
+
+    _ARG = r"((?:[^,()]|\([^)]*\))+?)"
+
+    def _two_arg(name: str, template: str, src: str) -> str:
+        def sub(m):
+            return template.format(a=m.group(1).strip(), b=m.group(2).strip())
+
+        return re.sub(
+            rf"\b{name}\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", sub, src, flags=re.I
+        )
+
+    # STRBEFORE/STRAFTER return '' (not NULL) when the needle is absent
+    e = _two_arg(
+        "strbefore",
+        "(CASE WHEN instr({a}, {b}) > 0"
+        " THEN substring({a}, 1, instr({a}, {b}) - 1) ELSE '' END)",
+        e,
+    )
+    e = _two_arg(
+        "strafter",
+        "(CASE WHEN instr({a}, {b}) > 0"
+        " THEN substring({a}, instr({a}, {b}) + length({b})) ELSE '' END)",
+        e,
+    )
 
     def _lang_matches(m):
         arg = m.group(1)
@@ -152,7 +205,7 @@ _TOK = re.compile(
   | (?P<var>[?$][A-Za-z_]\w*)
   | (?P<num>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.%-]*)
-  | (?P<kw>[A-Za-z_]+)
+  | (?P<kw>[A-Za-z_]\w*)
   | (?P<op>>=|<=|!=|&&|\|\||[=<>+\-/!%^|?])
   | (?P<punct>[{}().;,*])
   | (?P<ws>\s+)
@@ -168,23 +221,25 @@ class Query:
     distinct: bool = False
     patterns: list[tuple] = field(default_factory=list)
     filters: list[str] = field(default_factory=list)
-    optional: list[list[tuple]] = field(default_factory=list)
-    union: list[list[tuple]] = field(default_factory=list)  # alternative groups
+    # entries: (patterns, group-scoped filter exprs)
+    optional: list[tuple[list[tuple], list[str]]] = field(default_factory=list)
+    # alternative groups: (patterns, branch-scoped filters)
+    union: list[tuple] = field(default_factory=list)
     order_by: list[tuple] = field(default_factory=list)  # (var, desc)
     limit: Optional[int] = None
     offset: Optional[int] = None
-    # ("var", name) | ("agg", fn, arg, distinct, alias) | ("expr", sql, alias)
+    # ("var", name) | ("agg", fn, arg, distinct, alias, sep) | ("expr", sql, alias)
     projections: list[tuple] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: list[str] = field(default_factory=list)
     binds: list[tuple] = field(default_factory=list)  # (sql_expr, var)
     values_clauses: list[tuple] = field(default_factory=list)  # (vars, rows)
-    minus: list[list[tuple]] = field(default_factory=list)
+    minus: list[tuple] = field(default_factory=list)  # (patterns, filters)
     template: list[tuple] = field(default_factory=list)  # CONSTRUCT triples
     describe: list[str] = field(default_factory=list)  # DESCRIBE nodes
     subqueries: list["Query"] = field(default_factory=list)
-    graphs: list[tuple] = field(default_factory=list)  # (graph term, patterns)
-    exists: list[tuple] = field(default_factory=list)  # (negated, patterns)
+    graphs: list[tuple] = field(default_factory=list)  # (graph term, patterns, filters)
+    exists: list[tuple] = field(default_factory=list)  # (negated, patterns, filters)
 
 
 class SparqlError(ValueError):
@@ -330,7 +385,8 @@ class _P:
                 self.next()
                 item = self._select_binding()
                 q.projections.append(item)
-                q.variables.append(item[-1])
+                # ("agg", fn, arg, distinct, alias, sep) | ("expr", sql, alias)
+                q.variables.append(item[4] if item[0] == "agg" else item[-1])
                 continue
             break
 
@@ -353,9 +409,23 @@ class _P:
                 if t.group(0).upper() in ("ASC", "DESC"):
                     d = self.next().group(0).upper() == "DESC"
                     self.expect("(")
-                    v = self.term()
-                    self.expect(")")
-                    q.order_by.append((v[1:], d))
+                    # ASC/DESC accept any expression, not just a ?var
+                    parts: list[str] = []
+                    depth = 0
+                    while True:
+                        nt = self.peek()
+                        if nt is None:
+                            raise SparqlError("unterminated ORDER BY expression")
+                        if nt.group(0) == "(":
+                            depth += 1
+                        elif nt.group(0) == ")":
+                            if depth == 0:
+                                self.next()
+                                break
+                            depth -= 1
+                        self.next()
+                        parts.append(self._expr_token(nt))
+                    q.order_by.append((_rewrite_builtins(" ".join(parts)), d))
                 elif t.lastgroup == "var":
                     q.order_by.append((self.next().group(0)[1:], False))
                 else:
@@ -364,6 +434,29 @@ class _P:
             q.limit = int(self.next().group(0))
         if self.kw("OFFSET"):
             q.offset = int(self.next().group(0))
+
+    def _braced(self) -> tuple[list, "Query"]:
+        """Parse a braced group's contents ('{' already consumed) into
+        (patterns, scratch-Query).  The caller scopes scratch.filters
+        to the group (SPARQL group scoping) and re-attaches the other
+        collections at join level via _reattach."""
+        pats: list = []
+        subq = Query(form="SELECT")
+        self._group(pats, subq)
+        return pats, subq
+
+    @staticmethod
+    def _reattach(q: Query, subq: Query):
+        """Hoist a sub-group's non-filter content to the outer query —
+        evaluated against the merged solution, as a flat parse would."""
+        q.binds.extend(subq.binds)
+        q.values_clauses.extend(subq.values_clauses)
+        q.minus.extend(subq.minus)
+        q.union.extend(subq.union)
+        q.exists.extend(subq.exists)
+        q.graphs.extend(subq.graphs)
+        q.subqueries.extend(subq.subqueries)
+        q.optional.extend(subq.optional)
 
     def _group(self, patterns: list, q: Query):
         while True:
@@ -390,18 +483,22 @@ class _P:
                         if ex is None or ex.group(0).upper() != "EXISTS":
                             raise SparqlError("expected EXISTS after FILTER NOT")
                     self.expect("{")
-                    grp: list = []
-                    self._group(grp, q)
-                    q.exists.append((neg, grp))
+                    grp, eq = self._braced()
+                    q.exists.append((neg, grp, eq.filters))
+                    self._reattach(q, eq)
                     continue
                 q.filters.append(self._filter_expr())
                 continue
             if g.upper() == "OPTIONAL":
                 self.next()
                 self.expect("{")
-                sub: list = []
-                self._group(sub, q)
-                q.optional.append(sub)
+                # FILTERs written inside the OPTIONAL braces belong to
+                # the LeftJoin condition (SPARQL leftjoin): a failing
+                # filter un-binds the optional part instead of
+                # dropping the solution
+                sub, subq = self._braced()
+                q.optional.append((sub, subq.filters))
+                self._reattach(q, subq)
                 continue
             if g == "{":
                 self.next()
@@ -419,22 +516,23 @@ class _P:
                     self.expect("}")
                     q.subqueries.append(sub)
                     continue
-                # group — the { A } UNION { B } [UNION { C }] form
-                first: list = []
-                self._group(first, q)
-                q.union.append(first)
+                # group — the { A } UNION { B } [UNION { C }] form.
+                # Each branch's FILTERs scope to that branch alone.
+                first, fq = self._braced()
+                q.union.append((first, fq.filters))
+                self._reattach(q, fq)
                 while self.kw("UNION"):
                     self.expect("{")
-                    alt: list = []
-                    self._group(alt, q)
-                    q.union.append(alt)
+                    alt, aq = self._braced()
+                    q.union.append((alt, aq.filters))
+                    self._reattach(q, aq)
                 continue
             if g.upper() == "MINUS":
                 self.next()
                 self.expect("{")
-                sub2: list = []
-                self._group(sub2, q)
-                q.minus.append(sub2)
+                sub2, mq = self._braced()
+                q.minus.append((sub2, mq.filters))
+                self._reattach(q, mq)
                 continue
             if g.upper() == "BIND":
                 self.next()
@@ -457,9 +555,9 @@ class _P:
                 self.next()
                 gterm = self.term()
                 self.expect("{")
-                gpats: list = []
-                self._group(gpats, q)
-                q.graphs.append((gterm, gpats))
+                gpats, gq = self._braced()
+                q.graphs.append((gterm, gpats, gq.filters))
+                self._reattach(q, gq)
                 continue
             if g.upper() == "SERVICE":
                 raise SparqlError("SERVICE not supported (no network)")
@@ -514,6 +612,14 @@ class _P:
         if self.peek() is not None and self.peek().group(0) == "^":
             self.next()
             inv = True
+        if self.peek() is not None and self.peek().group(0) == "!":
+            self.next()
+            t = self._negated_set(outer_inv=inv)
+            if self.peek() is not None and self.peek().group(0) in ("+", "*", "?"):
+                raise SparqlError(
+                    "repetition modifier over a negated property set not supported"
+                )
+            return (t, False, None)
         if self.peek() is not None and self.peek().group(0) == "(":
             self.next()
             t = _GroupAtom(self._path())
@@ -524,6 +630,51 @@ class _P:
         if self.peek() is not None and self.peek().group(0) in ("+", "*", "?"):
             mod = self.next().group(0)
         return (t, inv, mod)
+
+    def _negated_set(self, outer_inv: bool):
+        """After '!': a single (possibly ^-inverted) IRI or a
+        parenthesized |-list of them → graph.NegatedSet.  Mixed
+        forward/inverse member sets raise (they would need a union of
+        two scans; ARQ supports it, real mappings don't use it).
+        ``outer_inv`` handles `^!(...)` ≡ `!(^...)` by flipping every
+        member's direction."""
+        from ont_d2rq_spark.graph import NegatedSet
+
+        members: list[tuple[str, bool]] = []
+
+        def one():
+            minv = False
+            if self.peek() is not None and self.peek().group(0) == "^":
+                self.next()
+                minv = True
+            m = self.term()
+            if not isinstance(m, str) or m.startswith("?"):
+                raise SparqlError("negated property set members must be IRIs")
+            members.append((m, minv != outer_inv))
+
+        if self.peek() is not None and self.peek().group(0) == "(":
+            self.next()
+            one()
+            while True:
+                t = self.next()
+                if t is None:
+                    raise SparqlError("unterminated negated property set")
+                if t.group(0) == ")":
+                    break
+                if t.group(0) != "|":
+                    raise SparqlError(
+                        f"expected '|' or ')' in negated property set, got {t.group(0)!r}"
+                    )
+                one()
+        else:
+            one()
+        fwd = tuple(m for m, i in members if not i)
+        inv = tuple(m for m, i in members if i)
+        if fwd and inv:
+            raise SparqlError(
+                "negated property set mixing forward and inverse members not supported"
+            )
+        return NegatedSet(fwd, inv)
 
     def _path(self):
         """→ list of alternatives; each alternative a list of atoms
@@ -573,10 +724,12 @@ class _P:
                 out.append((subj, PathPlus(pred, mod) if mod else pred, obj))
                 cur = nxt
             return out
+        from ont_d2rq_spark.graph import NegatedSet
+
         preds = []
         for seq in alts:
             if len(seq) != 1 or seq[0][1] or seq[0][2] or isinstance(
-                seq[0][0], _GroupAtom
+                seq[0][0], (_GroupAtom, NegatedSet)
             ):
                 raise SparqlError(
                     "path alternation supports plain predicates only (p1|p2)"
@@ -608,13 +761,24 @@ class _P:
             else:
                 raise SparqlError(f"aggregate arg must be ?var or *, got {a.group(0)!r}"
                                   " (BIND the expression first)")
+            sep = None
+            if self.peek() is not None and self.peek().group(0) == ";":
+                if fn != "GROUP_CONCAT":
+                    raise SparqlError(f"';' only valid inside GROUP_CONCAT, not {fn}")
+                self.next()
+                self.expect("SEPARATOR")
+                self.expect("=")
+                st = self.next()
+                if st is None or st.group("str") is None:
+                    raise SparqlError("SEPARATOR needs a string constant")
+                sep = st.group("str")[1:-1]
             self.expect(")")
             self.expect("AS")
             alias = self.next()
             if alias.lastgroup != "var":
                 raise SparqlError("aggregate needs AS ?alias")
             self.expect(")")
-            return ("agg", fn, arg, distinct, alias.group(0)[1:])
+            return ("agg", fn, arg, distinct, alias.group(0)[1:], sep)
         expr = self._expr_until_as()
         alias = self.next()
         if alias.lastgroup != "var":
@@ -742,7 +906,7 @@ def _ensure_companions(df: DataFrame, expr: str) -> DataFrame:
     return df
 
 
-def _agg_column(fn: str, arg: str, distinct: bool, alias: str):
+def _agg_column(fn: str, arg: str, distinct: bool, alias: str, sep=None):
     if fn == "COUNT":
         if arg == "*":
             e = F.count(F.lit(1))
@@ -761,6 +925,15 @@ def _agg_column(fn: str, arg: str, distinct: bool, alias: str):
         e = F.min(F.col(arg))
     elif fn == "MAX":
         e = F.max(F.col(arg))
+    elif fn == "GROUP_CONCAT":
+        # members sorted before joining → deterministic across
+        # partitionings (SPARQL leaves the order unspecified); DuckDB
+        # twin: string_agg(x, sep ORDER BY x)
+        c = F.collect_set(F.col(arg)) if distinct else F.collect_list(F.col(arg))
+        e = F.array_join(F.array_sort(c), sep if sep is not None else " ")
+    elif fn == "SAMPLE":
+        # deterministic representative (any member is a valid SAMPLE)
+        e = F.min(F.col(arg))
     else:  # pragma: no cover — parser restricts to _AGG_FNS
         raise SparqlError(f"unknown aggregate {fn}")
     return e.alias(alias)
@@ -885,7 +1058,15 @@ def _execute_query(graph, q: Query) -> DataFrame:
         # columns missing from one side become NULL (unbound)
         from functools import reduce as _reduce
 
-        parts = [graph.bgp(g) for g in q.union]
+        def _branch(entry):
+            pats, filts = entry if isinstance(entry, tuple) else (entry, [])
+            b = graph.bgp(pats)
+            for f in filts:  # branch-scoped FILTERs
+                b = _ensure_companions(b, f)
+                b = b.filter(F.expr(f))
+            return b
+
+        parts = [_branch(g) for g in q.union]
         df = _reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
@@ -896,11 +1077,10 @@ def _execute_query(graph, q: Query) -> DataFrame:
             ]
             df = df.drop(*[c for c in df.columns if _is_companion(c) and c in main.columns])
             df = main.join(df, on=shared, how="inner") if shared else main.crossJoin(df)
-        for group in q.optional:
-            sub = graph.bgp(group)
-            shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
-            sub = sub.drop(*[c for c in sub.columns if _is_companion(c) and c in df.columns])
-            df = df.join(sub, on=shared, how="left") if shared else df.crossJoin(sub)
+        for pats, filts in q.optional:
+            from ont_d2rq_spark.graph import optional_join
+
+            df = optional_join(df, graph.bgp(pats), filts)
 
     # subqueries evaluate independently, join on shared variables
     for sub in q.subqueries:
@@ -914,7 +1094,8 @@ def _execute_query(graph, q: Query) -> DataFrame:
     # GRAPH groups: evaluate each against its named graph (constant
     # IRI) or the union of all named graphs (?g, bound per graph),
     # then join on shared variables
-    for gterm, gpats in q.graphs:
+    for gentry in q.graphs:
+        gterm, gpats, gfilts = gentry if len(gentry) == 3 else (*gentry, [])
         from ont_d2rq_spark.graph import _is_var as _isv, _var_name as _vn
 
         if _isv(gterm):
@@ -931,6 +1112,9 @@ def _execute_query(graph, q: Query) -> DataFrame:
             )
         else:
             gdf = graph.graph_scoped_bgp(str(gterm), gpats)
+        for f in gfilts:  # group-scoped FILTERs
+            gdf = _ensure_companions(gdf, f)
+            gdf = gdf.filter(F.expr(f))
         if df is None:
             df = gdf
         else:
@@ -942,9 +1126,10 @@ def _execute_query(graph, q: Query) -> DataFrame:
         # OPTIONAL over the unit solution (no basic patterns, no UNION):
         # left-join each optional group so its bindings surface instead
         # of being silently dropped
-        for group in q.optional:
-            sub = graph.bgp(group)
-            df = df.join(sub, F.lit(True), "left")
+        from ont_d2rq_spark.graph import optional_join
+
+        for pats, filts in q.optional:
+            df = optional_join(df, graph.bgp(pats), filts)
 
     # VALUES: inline binding tables, broadcast-joined on shared vars.
     # UNDEF cells (None) place no constraint on that variable in that
@@ -995,8 +1180,11 @@ def _execute_query(graph, q: Query) -> DataFrame:
     # FILTER [NOT] EXISTS: semi/anti join on shared variables; with no
     # shared variables the group acts as a global non-emptiness gate
     # (unlike MINUS, NOT EXISTS on disjoint domains still filters)
-    for neg, group in q.exists:
+    for neg, group, efilts in q.exists:
         sub = graph.bgp(group)
+        for f in efilts:  # group-scoped FILTERs
+            sub = _ensure_companions(sub, f)
+            sub = sub.filter(F.expr(f))
         shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
         how = "left_anti" if neg else "left_semi"
         if shared:
@@ -1006,8 +1194,12 @@ def _execute_query(graph, q: Query) -> DataFrame:
 
     # MINUS: anti-join on shared variables (no shared vars → no-op,
     # per SPARQL MINUS semantics on disjoint domains)
-    for group in q.minus:
-        sub = graph.bgp(group)
+    for mentry in q.minus:
+        mpats, mfilts = mentry if isinstance(mentry, tuple) else (mentry, [])
+        sub = graph.bgp(mpats)
+        for f in mfilts:  # group-scoped FILTERs
+            sub = _ensure_companions(sub, f)
+            sub = sub.filter(F.expr(f))
         shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
         if shared:
             df = df.join(sub.select(*shared), on=shared, how="left_anti")
@@ -1027,7 +1219,7 @@ def _execute_query(graph, q: Query) -> DataFrame:
         for _, name in (p for p in q.projections if p[0] == "var"):
             if name not in q.group_by:
                 raise SparqlError(f"?{name} in SELECT must appear in GROUP BY")
-        agg_cols = [_agg_column(fn, a, d, al) for _, fn, a, d, al in aggs]
+        agg_cols = [_agg_column(*p[1:]) for p in aggs]
         df = df.groupBy(*q.group_by).agg(*agg_cols) if q.group_by else df.agg(*agg_cols)
         for h in q.having:
             df = df.filter(F.expr(h))
@@ -1039,11 +1231,22 @@ def _execute_query(graph, q: Query) -> DataFrame:
     if q.variables:
         df = df.select(*q.variables)
     else:  # SELECT * — expose variables, not companion/marker columns
-        df = df.select(*[c for c in df.columns if not _is_companion(c) and c != "_m"])
+        # (nor __-prefixed internals: path-sequence join vars are not
+        # selectable per the SPARQL path rewrite)
+        df = df.select(
+            *[
+                c
+                for c in df.columns
+                if not _is_companion(c) and c != "_m" and not c.startswith("__")
+            ]
+        )
     if q.distinct:
         df = df.distinct()
     if q.order_by:
-        df = df.orderBy(*[F.col(v).desc() if d else F.col(v).asc() for v, d in q.order_by])
+        # v is a plain variable name or a rewritten ASC()/DESC() expression
+        df = df.orderBy(
+            *[F.expr(v).desc() if d else F.expr(v).asc() for v, d in q.order_by]
+        )
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:

@@ -420,3 +420,258 @@ def test_describe_full_cbd(bnode_graph):
     assert len(bnodes) == 2, f"CBD must chase bNodes 2 levels, got {subjects}"
     labels = {r["obj"] for r in rows if r["pred"] == EX + "label"}
     assert len(labels) == 2  # one nation name + one region name
+
+
+# ---- negated property sets ---------------------------------------------------
+
+
+def test_negated_single(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ ?n a ex:Nation . ?n !ex:inRegion ?x }}""",
+    )
+    got = [r["x"] for r in df.collect()]
+    # per nation: the rdf:type edge + the name literal remain
+    assert len(got) == 50
+    assert sum(1 for x in got if x == EX + "Nation") == 25
+
+
+def test_negated_list_and_a(graph):
+    only_type = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ ?n a ex:Nation . ?n !(ex:name|ex:inRegion) ?x }}""",
+    )
+    assert {r["x"] for r in only_type.collect()} == {EX + "Nation"}
+    not_type = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ ?n a ex:Nation . ?n !a ?x }}""",
+    )
+    assert not_type.count() == 50  # name + inRegion edges
+
+
+def test_negated_inverse_only(graph):
+    # !(^p) from ?r to ?n matches an edge ?n --pred--> ?r, pred != p:
+    # the 25 nation->region inRegion arcs
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{ ?r a ex:Region . ?r !(^ex:name) ?n }}""",
+    )
+    rows = [r["n"] for r in df.collect()]
+    assert len(rows) == 25 and all(n.startswith(EX + "nation/") for n in rows)
+    # forward reading of the same shape: edges FROM a region that are
+    # not ex:name — only the rdf:type arc remains
+    fwd = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ ?r a ex:Region . ?r !(ex:name) ?x }}""",
+    )
+    assert {r["x"] for r in fwd.collect()} == {EX + "Region"}
+
+
+def test_negated_in_sequence(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn WHERE {{ ?n a ex:Nation . ?n !(ex:name|a)/ex:name ?rn }}""",
+    )
+    # !(name|type) from a nation = inRegion only; then region name
+    assert df.count() == 25
+    assert all(r["rn"].startswith("REGION_") or r["rn"] for r in df.collect())
+
+
+def test_negated_mixed_raises(graph):
+    from ont_d2rq_spark.sparql import SparqlError
+
+    with pytest.raises(SparqlError):
+        execute(
+            graph,
+            f"""PREFIX ex: <{EX}>
+            SELECT ?x WHERE {{ ?n !(ex:name|^ex:inRegion) ?x }}""",
+        )
+
+
+def test_select_star_hides_path_internals(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT * WHERE {{ ?n a ex:Nation . ?n ex:inRegion/ex:name ?rn }}""",
+    )
+    assert set(df.columns) == {"n", "rn"}
+    assert df.count() == 25
+
+
+# ---- GROUP_CONCAT / SAMPLE ---------------------------------------------------
+
+
+def test_group_concat(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn (GROUP_CONCAT(?nn; SEPARATOR=", ") AS ?nations)
+        WHERE {{
+            ?n a ex:Nation . ?n ex:name ?nn .
+            ?n ex:inRegion ?r . ?r ex:name ?rn .
+        }} GROUP BY ?rn ORDER BY ?rn""",
+    )
+    rows = {r["rn"]: r["nations"] for r in df.collect()}
+    assert len(rows) == 5
+    # members are sorted lexically (deterministic GROUP_CONCAT)
+    for v in rows.values():
+        parts = v.split(", ")
+        assert parts == sorted(parts) and len(parts) == 5
+
+
+def test_group_concat_distinct(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT (GROUP_CONCAT(DISTINCT ?rn; SEPARATOR="|") AS ?all) WHERE {{
+            ?n a ex:Nation . ?n ex:inRegion ?r . ?r ex:name ?rn .
+        }}""",
+    )
+    [row] = df.collect()
+    parts = row["all"].split("|")
+    assert parts == sorted(parts) and len(parts) == 5  # deduped across 25 nations
+
+
+def test_sample(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn (SAMPLE(?nn) AS ?one) WHERE {{
+            ?n a ex:Nation . ?n ex:name ?nn .
+            ?n ex:inRegion ?r . ?r ex:name ?rn .
+        }} GROUP BY ?rn""",
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and all(r["one"].startswith("NATION_") for r in rows)
+
+
+# ---- new scalar builtins -----------------------------------------------------
+
+
+def test_strbefore_strafter(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name (STRBEFORE(?name, "_") AS ?pre)
+                     (STRAFTER(?name, "_") AS ?post)
+                     (STRBEFORE(?name, "zzz") AS ?none)
+        WHERE {{ ?n a ex:Nation . ?n ex:name ?name .
+                 FILTER (STRAFTER(?name, "_") = "7") }}""",
+    )
+    [row] = df.collect()
+    assert row["name"] == "NATION_7" and row["pre"] == "NATION"
+    assert row["post"] == "7" and row["none"] == ""
+
+
+def test_replace_is_regex_and_hashes(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT (REPLACE(?name, "[0-9]+", "#") AS ?masked)
+               (MD5(?name) AS ?h)
+        WHERE {{ ?n a ex:Nation . ?n ex:name ?name .
+                 FILTER (?name = "NATION_12") }}""",
+    )
+    [row] = df.collect()
+    assert row["masked"] == "NATION_#"
+    import hashlib
+
+    assert row["h"] == hashlib.md5(b"NATION_12").hexdigest()
+
+
+def test_encode_for_uri_and_iri(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT (ENCODE_FOR_URI("a b/c") AS ?enc) (IRI(?n) AS ?same)
+        WHERE {{ ?n a ex:Region }} LIMIT 1""",
+    )
+    [row] = df.collect()
+    assert row["enc"] == "a%20b%2Fc"
+    assert row["same"].startswith(EX + "region/")
+
+
+def test_order_by_expression(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name WHERE {{ ?r a ex:Region . ?r ex:name ?name }}
+        ORDER BY DESC(STRLEN(?name)) ?name""",
+    )
+    names = [r["name"] for r in df.collect()]
+    assert names == sorted(names, key=lambda n: (-len(n), n))
+
+
+# ---- FILTER scoped inside OPTIONAL (SPARQL leftjoin) -------------------------
+
+
+def test_optional_filter_unbinds_instead_of_dropping(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name ?rn WHERE {{
+            ?n a ex:Nation . ?n ex:name ?name .
+            OPTIONAL {{ ?n ex:inRegion ?r . ?r ex:name ?rn .
+                        FILTER (?rn = "ASIA") }}
+        }}""",
+    )
+    rows = df.collect()
+    # every nation survives; only ASIA nations carry a bound ?rn
+    assert len(rows) == 25
+    bound = [r for r in rows if r["rn"] is not None]
+    assert len(bound) == 5 and all(r["rn"] == "ASIA" for r in bound)
+
+
+def test_optional_filter_referencing_outer_var(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name ?rn WHERE {{
+            ?n a ex:Nation . ?n ex:name ?name .
+            OPTIONAL {{ ?n ex:inRegion ?r . ?r ex:name ?rn .
+                        FILTER (STRLEN(?rn) < STRLEN(?name)) }}
+        }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 25
+    for r in rows:
+        if r["rn"] is not None:
+            assert len(r["rn"]) < len(r["name"])
+    # the long region name gets un-bound, not dropped
+    assert any(r["rn"] is None for r in rows)
+
+
+def test_union_branch_scoped_filter(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name WHERE {{
+            {{ ?r a ex:Region . ?r ex:name ?name . FILTER (?name = "ASIA") }}
+            UNION
+            {{ ?n a ex:Nation . ?n ex:name ?name . FILTER (STRENDS(?name, "_3")) }}
+        }}""",
+    )
+    got = sorted(r["name"] for r in df.collect())
+    # branch filters must not leak across branches
+    assert got == ["ASIA", "NATION_3"]
+
+
+def test_minus_scoped_filter(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?name WHERE {{
+            ?n a ex:Nation . ?n ex:name ?name .
+            MINUS {{ ?n ex:name ?name . FILTER (STRSTARTS(?name, "NATION_1")) }}
+        }}""",
+    )
+    got = {r["name"] for r in df.collect()}
+    # NATION_1, NATION_10..19 removed → 14 left; filter must not touch
+    # the outer solutions
+    assert len(got) == 14 and all(not n.startswith("NATION_1") for n in got)

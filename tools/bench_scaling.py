@@ -273,6 +273,28 @@ def main():
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
     out.write_text("\n".join(md) + "\n")
+    # machine-readable summary (bench.py embeds it in the driver JSON
+    # line) + append-only history for the cross-session variance story
+    summary = {
+        "n_cores": n,
+        "triples": r_n["triples"],
+        "eff": {"dump": eff_auto, "distinct": eff_dist, "pipeline": eff_pipe},
+        "eff_normalized": {
+            "dump": norm(eff_auto),
+            "distinct": norm(eff_dist),
+            "pipeline": norm(eff_pipe),
+        },
+        "eff_best_run": {
+            "dump": beff("auto"),
+            "distinct": beff("distinct"),
+            "pipeline": beff("pipeline"),
+        },
+        "ceiling": CEIL,
+        "raw": results,
+    }
+    (REPO / "BENCH" / "scaling.json").write_text(json.dumps(summary) + "\n")
+    with open(REPO / "BENCH" / "scaling_history.jsonl", "a") as f:
+        f.write(json.dumps(summary) + "\n")
     print(f"eff_auto={eff_auto} eff_distinct={eff_dist} eff_pipeline={eff_pipe}  → {out}")
 
 
