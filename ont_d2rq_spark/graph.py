@@ -97,13 +97,13 @@ class PathPlus:
 class NegatedSet:
     """SPARQL negated property set `!p` / `!(p1|p2|^q)` in predicate
     position: matches any edge whose predicate is NOT one of the listed
-    IRIs.  ``fwd``/``inv`` are tuples of absolute predicate IRIs; the
-    parser (sparql.py) rejects mixed forward/inverse sets, so exactly
-    one of the two is non-empty.  bgp() evaluates it by rewriting the
-    pattern to an internal predicate variable (inverse members swap
+    IRIs.  ``fwd``/``inv`` are tuples of absolute predicate IRIs.
+    bgp() evaluates a single-direction set by rewriting the pattern to
+    an internal predicate variable (inverse members swap
     subject/object first) and post-filtering that column with NOT IN —
     the exclusion list is tiny, so Catalyst keeps the filter adjacent
-    to the pattern's union frame."""
+    to the pattern's union frame.  A mixed set is the union of its two
+    single-direction evaluations (each matches a different edge)."""
 
     def __init__(self, fwd=(), inv=()):
         self.fwd = tuple(fwd)
@@ -666,7 +666,7 @@ class VirtualGraph:
         neg_filters: list[tuple[str, tuple]] = []
         rewritten: list[tuple] = []
         for s, p, o in patterns:
-            if isinstance(p, NegatedSet):
+            if isinstance(p, NegatedSet) and not (p.fwd and p.inv):
                 name = f"__np{len(neg_filters)}"
                 if p.inv:
                     s, o = o, s
@@ -678,6 +678,16 @@ class VirtualGraph:
         closure_frames: dict[int, DataFrame] = {}
         meta: dict[int, list] = {}
         for idx, (s, p, o) in enumerate(patterns):
+            if isinstance(p, NegatedSet):
+                # mixed forward/inverse set !(p|^q): a forward edge with
+                # pred ∉ fwd OR an inverse edge with pred ∉ inv — the
+                # union of the two single-direction evaluations (each
+                # matching a DIFFERENT edge, so union-all is the correct
+                # solution multiset)
+                fa = self.bgp([(s, NegatedSet(fwd=p.fwd), o)])
+                fb = self.bgp([(s, NegatedSet(inv=p.inv), o)])
+                closure_frames[idx] = fa.unionByName(fb, allowMissingColumns=True)
+                continue
             if isinstance(p, PathPlus):
                 closure_frames[idx] = self._closure_frame(s, p, o)
                 continue

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -113,24 +115,60 @@ def lsh_banded(
     mats: list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> DataFrame:
     """→ (idn, t, bucket): one row per (vector, table) with the
-    signature bucket for that table.  No Python in the row path."""
-    tables = len(mats)
-    base = df.select(F.col(id_col).alias(idn), quantized(F.col(vec_col)).alias("_q"))
-    return base.select(
-        idn,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), _bucket_expr(F.col("_q"), mats[t]).alias("bucket")
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(idn, "tb.t", "tb.bucket")
+    signature bucket for that table.
+
+    Default path: one Arrow-batched pandas UDF doing the whole
+    (batch×dim) @ (dim×tables·planes) projection as a single numpy
+    int64 matmul.  The Catalyst alternative (``arrow=False``) builds
+    tables×planes `aggregate(zip_with(...))` dot products — those
+    higher-order functions are CodegenFallback (interpreted
+    per-element), which at planes=8/tables=32 made the projection the
+    whole query's bottleneck (~5× the rest of the join combined).
+    Both paths quantize with round-half-away-from-zero to exact int64
+    and produce BIT-IDENTICAL buckets (the DuckDB oracle replays the
+    same integer arithmetic), so the fast path is safe for the
+    correctness gate."""
+    tables, planes = len(mats), len(mats[0])
+    if not arrow:
+        base = df.select(F.col(id_col).alias(idn), quantized(F.col(vec_col)).alias("_q"))
+        return base.select(
+            idn,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            _bucket_expr(F.col("_q"), mats[t]).alias("bucket"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(idn, "tb.t", "tb.bucket")
+
+    P = np.array(mats, dtype=np.int64).reshape(tables * planes, -1)  # (t·p, dim)
+    weights = 1 << np.arange(planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        # round half away from zero == Spark/DuckDB round(x, 0)
+        S = M * 1e6
+        Q = np.where(S >= 0, np.floor(S + 0.5), np.ceil(S - 0.5)).astype(np.int64)
+        bits = (Q @ P.T > 0).astype(np.int64).reshape(len(M), tables, planes)
+        B = (bits * weights).sum(axis=2)  # (n, tables)
+        return pd.Series(list(B))
+
+    return (
+        df.select(F.col(id_col).alias(idn), _buckets(F.col(vec_col)).alias("_b"))
+        .select(idn, F.posexplode("_b").alias("t", "bucket"))
+        .select(idn, F.col("t").cast("int").alias("t"), "bucket")
+    )
 
 
 def lsh_topk(
@@ -316,6 +354,13 @@ def lsh_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if with_stats:
+        # the stats aggregate and the verification join both consume
+        # `cand`; without a persist the projection (planes×tables dot
+        # products per row) and the banding self-join would run TWICE —
+        # measured 2.7× wall on the sf0.1 bench.  The deduped pair list
+        # is small (≪ n², that's the point), so caching it is cheap.
+        cand = cand.persist()
     v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     out = (
         cand.join(v.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")

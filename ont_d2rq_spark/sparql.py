@@ -33,7 +33,10 @@ here the residual ops are native DataFrame ops):
                                    variables; inner FILTERs scope to
                                    the group (same for UNION branches,
                                    EXISTS and GRAPH groups)
-      BIND (<expr> AS ?v)
+      BIND (<expr> AS ?v)        — incl. STRLANG/STRDT constructors,
+                                   whose tag lands in ?v's companion
+                                   columns (visible to lang()/datatype()
+                                   and typed CONSTRUCT output)
       VALUES ?v { t1 t2 ... } | VALUES (?v ?w) { (t1 t2) ... }
       { SELECT ... WHERE { ... } ... }  — subquery, joined on shared vars
       GRAPH (<iri> | ?g) { ... }  — named-graph scope (data / vocabulary)
@@ -60,12 +63,13 @@ Property paths (predicate position): ^p inverse, p1/p2 sequence
 bridge candidates), p+ / p* / p? repetition (distributed transitive
 closure, operators/closure.py), parenthesized groups — inline splice
 or `(p1/p2)+` composite-edge closure, `!p` / `!(p1|^p2)` negated
-property sets (forward-only or inverse-only member lists).  VALUES
-supports UNDEF (NULL cell + null-safe join).  DESCRIBE emits the full
-Concise Bounded Description (bNode fixpoint expansion).
+property sets (mixed forward/inverse member lists evaluate as the
+union of the two directions).  VALUES supports UNDEF (NULL cell +
+null-safe join).  DESCRIBE emits the full Concise Bounded Description
+(bNode fixpoint expansion).
 
-Not supported (raise): SERVICE (no network), mixed forward/inverse
-negated property sets, repetition over a negated set.
+Not supported (raise): SERVICE (no network), repetition over a
+negated set.
 """
 
 from __future__ import annotations
@@ -232,7 +236,8 @@ class Query:
     projections: list[tuple] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: list[str] = field(default_factory=list)
-    binds: list[tuple] = field(default_factory=list)  # (sql_expr, var)
+    # (sql_expr, var[, (STRLANG|STRDT, tag)])
+    binds: list[tuple] = field(default_factory=list)
     values_clauses: list[tuple] = field(default_factory=list)  # (vars, rows)
     minus: list[tuple] = field(default_factory=list)  # (patterns, filters)
     template: list[tuple] = field(default_factory=list)  # CONSTRUCT triples
@@ -537,12 +542,44 @@ class _P:
             if g.upper() == "BIND":
                 self.next()
                 self.expect("(")
-                expr = self._expr_until_as()
+                nxt2 = self.peek()
+                meta = None
+                if nxt2 is not None and nxt2.group(0).upper() in ("STRLANG", "STRDT"):
+                    # typed-literal constructors: the tag lands in the
+                    # companion columns (v__lang / v__dt / v__islit) so
+                    # lang()/datatype() filters and typed CONSTRUCT see it
+                    kind = self.next().group(0).upper()
+                    self.expect("(")
+                    parts: list = []
+                    depth = 0
+                    while True:
+                        t2 = self.peek()
+                        if t2 is None:
+                            raise SparqlError(f"unterminated {kind}")
+                        g2 = t2.group(0)
+                        if depth == 0 and g2 == ",":
+                            self.next()
+                            break
+                        if g2 == "(":
+                            depth += 1
+                        elif g2 == ")":
+                            depth -= 1
+                        self.next()
+                        parts.append(self._expr_token(t2))
+                    expr = _rewrite_builtins(" ".join(parts))
+                    tag = self.term()  # "en" (STRLANG) / datatype IRI (STRDT)
+                    if not isinstance(tag, str) or tag.startswith("?"):
+                        raise SparqlError(f"{kind} tag must be a constant")
+                    self.expect(")")
+                    meta = (kind, tag)
+                    self.expect("AS")
+                else:
+                    expr = self._expr_until_as()  # consumes the AS
                 var = self.next()
                 if var.lastgroup != "var":
                     raise SparqlError("BIND needs (expr AS ?var)")
                 self.expect(")")
-                q.binds.append((expr, var.group(0)[1:]))
+                q.binds.append((expr, var.group(0)[1:], meta))
                 continue
             if g.upper() == "VALUES":
                 self.next()
@@ -633,11 +670,10 @@ class _P:
 
     def _negated_set(self, outer_inv: bool):
         """After '!': a single (possibly ^-inverted) IRI or a
-        parenthesized |-list of them → graph.NegatedSet.  Mixed
-        forward/inverse member sets raise (they would need a union of
-        two scans; ARQ supports it, real mappings don't use it).
-        ``outer_inv`` handles `^!(...)` ≡ `!(^...)` by flipping every
-        member's direction."""
+        parenthesized |-list of them → graph.NegatedSet (mixed
+        forward/inverse sets evaluate as a union of the two
+        directions, graph.bgp).  ``outer_inv`` handles `^!(...)` ≡
+        `!(^...)` by flipping every member's direction."""
         from ont_d2rq_spark.graph import NegatedSet
 
         members: list[tuple[str, bool]] = []
@@ -670,10 +706,6 @@ class _P:
             one()
         fwd = tuple(m for m, i in members if not i)
         inv = tuple(m for m, i in members if i)
-        if fwd and inv:
-            raise SparqlError(
-                "negated property set mixing forward and inverse members not supported"
-            )
         return NegatedSet(fwd, inv)
 
     def _path(self):
@@ -1171,9 +1203,21 @@ def _execute_query(graph, q: Query) -> DataFrame:
             )
         df = df.drop(*[f"__val_{v}" for v in vars_])
     # BIND: new columns (evaluated before FILTERs, see module doc)
-    for expr, var in q.binds:
+    for b in q.binds:
+        expr, var, meta = b if len(b) == 3 else (*b, None)
         df = _ensure_companions(df, expr)
         df = df.withColumn(var, F.expr(expr))
+        if meta is not None:  # STRLANG / STRDT typed-literal constructor
+            kind, tag = meta
+            df = df.withColumn(f"{var}__islit", F.lit(True))
+            df = df.withColumn(
+                f"{var}__lang",
+                F.lit(tag) if kind == "STRLANG" else F.lit(None).cast("string"),
+            )
+            df = df.withColumn(
+                f"{var}__dt",
+                F.lit(tag) if kind == "STRDT" else F.lit(None).cast("string"),
+            )
     for f in q.filters:
         df = _ensure_companions(df, f)
         df = df.filter(F.expr(f))

@@ -483,15 +483,23 @@ def test_negated_in_sequence(graph):
     assert all(r["rn"].startswith("REGION_") or r["rn"] for r in df.collect())
 
 
-def test_negated_mixed_raises(graph):
-    from ont_d2rq_spark.sparql import SparqlError
-
-    with pytest.raises(SparqlError):
-        execute(
-            graph,
-            f"""PREFIX ex: <{EX}>
-            SELECT ?x WHERE {{ ?n !(ex:name|^ex:inRegion) ?x }}""",
-        )
+def test_negated_mixed_directions(graph):
+    # !(p|^q) = forward edges with pred != p UNION inverse edges with
+    # pred != q.  From a nation: forward = rdf:type + inRegion (name
+    # excluded) = 50; inverse = customer/supplier inNation arcs
+    # (inRegion arcs point at regions, not nations) = 150 + 10
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?x WHERE {{ ?n a ex:Nation .
+                              ?n !(ex:name|^ex:inRegion) ?x }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 50 + 160
+    xs = [r["x"] for r in rows]
+    assert sum(1 for x in xs if x == EX + "Nation") == 25
+    assert sum(1 for x in xs if x.startswith(EX + "customer/")) == 150
+    assert sum(1 for x in xs if x.startswith(EX + "supplier/")) == 10
 
 
 def test_select_star_hides_path_internals(graph):
@@ -675,3 +683,35 @@ def test_minus_scoped_filter(graph):
     # NATION_1, NATION_10..19 removed → 14 left; filter must not touch
     # the outer solutions
     assert len(got) == 14 and all(not n.startswith("NATION_1") for n in got)
+
+
+# ---- STRLANG / STRDT in BIND -------------------------------------------------
+
+
+def test_strlang_bind(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?tagged ?lt WHERE {{
+            ?r a ex:Region . ?r ex:name ?name .
+            BIND (STRLANG(?name, "fr") AS ?tagged)
+            BIND (lang(?tagged) AS ?lt)
+            FILTER (langMatches(lang(?tagged), "fr"))
+        }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and all(r["lt"] == "fr" for r in rows)
+
+
+def test_strdt_bind(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?t WHERE {{
+            ?r a ex:Region . ?r ex:name ?name .
+            BIND (STRDT(UCASE(?name), xsd:token) AS ?t)
+            FILTER (datatype(?t) = "http://www.w3.org/2001/XMLSchema#token")
+        }}""",
+    )
+    assert df.count() == 5
