@@ -479,7 +479,24 @@ class _P:
                 self.next()
                 nxt = self.peek()
                 # FILTER [NOT] EXISTS { … } → semi/anti join on the
-                # shared variables (the unparenthesized common form)
+                # shared variables; both the bare form and the
+                # parenthesized spelling FILTER ((NOT) EXISTS { … })
+                wrapped = False
+                if nxt is not None and nxt.group(0) == "(":
+                    a1 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+                    a2 = self.toks[self.i + 2] if self.i + 2 < len(self.toks) else None
+                    is_ex = a1 is not None and (
+                        a1.group(0).upper() == "EXISTS"
+                        or (
+                            a1.group(0).upper() == "NOT"
+                            and a2 is not None
+                            and a2.group(0).upper() == "EXISTS"
+                        )
+                    )
+                    if is_ex:
+                        self.next()  # consume '('
+                        wrapped = True
+                        nxt = self.peek()
                 if nxt is not None and nxt.group(0).upper() in ("EXISTS", "NOT"):
                     neg = nxt.group(0).upper() == "NOT"
                     self.next()
@@ -491,6 +508,8 @@ class _P:
                     grp, eq = self._braced()
                     q.exists.append((neg, grp, eq.filters))
                     self._reattach(q, eq)
+                    if wrapped:
+                        self.expect(")")
                     continue
                 q.filters.append(self._filter_expr())
                 continue

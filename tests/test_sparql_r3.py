@@ -715,3 +715,16 @@ def test_strdt_bind(graph):
         }}""",
     )
     assert df.count() == 5
+
+
+def test_filter_exists_parenthesized(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn WHERE {{
+            ?r a ex:Region . ?r ex:name ?rn .
+            FILTER (EXISTS {{ ?n ex:inRegion ?r }})
+            FILTER (NOT EXISTS {{ ?r ex:name "NOPE" }})
+        }}""",
+    )
+    assert df.count() == 5
