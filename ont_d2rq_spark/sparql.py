@@ -41,7 +41,8 @@ here the residual ops are native DataFrame ops):
       { SELECT ... WHERE { ... } ... }  — subquery, joined on shared vars
       GRAPH (<iri> | ?g) { ... }  — named-graph scope (data / vocabulary)
   }
-  [GROUP BY ?v ...] [HAVING (<expr over aliases>) ...]
+  [GROUP BY ?v ...] [HAVING (<expr over aliases or inline
+                              COUNT/SUM/AVG/MIN/MAX calls>) ...]
   [ORDER BY [ASC|DESC](?v) ...] [LIMIT n] [OFFSET n]
   ASK WHERE { ... }
 
@@ -1283,9 +1284,33 @@ def _execute_query(graph, q: Query) -> DataFrame:
             if name not in q.group_by:
                 raise SparqlError(f"?{name} in SELECT must appear in GROUP BY")
         agg_cols = [_agg_column(*p[1:]) for p in aggs]
+        # HAVING may reference aggregates inline (HAVING (COUNT(?x) > 5))
+        # as well as SELECT aliases: inline calls become hidden agg
+        # columns filtered then projected away
+        hidden: list[tuple] = []
+
+        def _having_rewrite(h: str) -> str:
+            def rep(m):
+                alias = f"__h{len(hidden)}"
+                hidden.append(
+                    (m.group(1).upper(), m.group(3), bool(m.group(2)), alias)
+                )
+                return alias
+
+            return re.sub(
+                r"\b(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(\w+|\*)\s*\)",
+                rep,
+                h,
+                flags=re.I,
+            )
+
+        having = [_having_rewrite(h) for h in q.having]
+        agg_cols += [_agg_column(fn, a, d, al) for fn, a, d, al in hidden]
         df = df.groupBy(*q.group_by).agg(*agg_cols) if q.group_by else df.agg(*agg_cols)
-        for h in q.having:
+        for h in having:
             df = df.filter(F.expr(h))
+        if hidden:
+            df = df.drop(*[al for _, _, _, al in hidden])
     # non-aggregate select expressions
     for _, sql, alias in (p for p in q.projections if p[0] == "expr"):
         df = _ensure_companions(df, sql)

@@ -728,3 +728,36 @@ def test_filter_exists_parenthesized(graph):
         }}""",
     )
     assert df.count() == 5
+
+
+def test_having_inline_aggregate(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?seg (COUNT(*) AS ?n) WHERE {{
+            ?c a ex:Customer . ?c ex:marketSegment ?seg .
+        }} GROUP BY ?seg HAVING (COUNT(*) > 25) ORDER BY ?seg""",
+    )
+    rows = df.collect()
+    assert rows and all(r["n"] > 25 for r in rows)
+    assert set(df.columns) == {"seg", "n"}  # hidden __h cols dropped
+    # alias form still works and agrees
+    df2 = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?seg (COUNT(*) AS ?n) WHERE {{
+            ?c a ex:Customer . ?c ex:marketSegment ?seg .
+        }} GROUP BY ?seg HAVING (?n > 25) ORDER BY ?seg""",
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in df2.collect()]
+
+
+def test_having_inline_sum_distinct(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn (COUNT(DISTINCT ?n) AS ?nn) WHERE {{
+            ?n a ex:Nation . ?n ex:inRegion ?r . ?r ex:name ?rn .
+        }} GROUP BY ?rn HAVING (COUNT(DISTINCT ?n) >= 5)""",
+    )
+    assert df.count() == 5  # every region has exactly 5 nations
