@@ -1279,42 +1279,45 @@ def _execute_query(graph, q: Query) -> DataFrame:
 
     # aggregation: GROUP BY keys + aggregate projections
     aggs = [p for p in q.projections if p[0] == "agg"]
-    if aggs or q.group_by:
+    # HAVING and SELECT expressions may reference aggregates inline
+    # (HAVING (COUNT(?x) > 5), (ROUND(AVG(?x)) AS ?a), (SUM(?a)/COUNT(*)
+    # AS ?r)): inline calls become hidden agg columns, consumed after the
+    # groupBy and projected away
+    hidden: list[tuple] = []
+
+    def _inline_aggs(h: str) -> str:
+        def rep(m):
+            alias = f"__h{len(hidden)}"
+            hidden.append((m.group(1).upper(), m.group(3), bool(m.group(2)), alias))
+            return alias
+
+        return re.sub(
+            r"\b(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(\w+|\*)\s*\)",
+            rep,
+            h,
+            flags=re.I,
+        )
+
+    having = [_inline_aggs(h) for h in q.having]
+    expr_projs = [
+        (_inline_aggs(sql), alias)
+        for _, sql, alias in (p for p in q.projections if p[0] == "expr")
+    ]
+    if aggs or q.group_by or hidden:
         for _, name in (p for p in q.projections if p[0] == "var"):
             if name not in q.group_by:
                 raise SparqlError(f"?{name} in SELECT must appear in GROUP BY")
         agg_cols = [_agg_column(*p[1:]) for p in aggs]
-        # HAVING may reference aggregates inline (HAVING (COUNT(?x) > 5))
-        # as well as SELECT aliases: inline calls become hidden agg
-        # columns filtered then projected away
-        hidden: list[tuple] = []
-
-        def _having_rewrite(h: str) -> str:
-            def rep(m):
-                alias = f"__h{len(hidden)}"
-                hidden.append(
-                    (m.group(1).upper(), m.group(3), bool(m.group(2)), alias)
-                )
-                return alias
-
-            return re.sub(
-                r"\b(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(\w+|\*)\s*\)",
-                rep,
-                h,
-                flags=re.I,
-            )
-
-        having = [_having_rewrite(h) for h in q.having]
         agg_cols += [_agg_column(fn, a, d, al) for fn, a, d, al in hidden]
         df = df.groupBy(*q.group_by).agg(*agg_cols) if q.group_by else df.agg(*agg_cols)
         for h in having:
             df = df.filter(F.expr(h))
-        if hidden:
-            df = df.drop(*[al for _, _, _, al in hidden])
-    # non-aggregate select expressions
-    for _, sql, alias in (p for p in q.projections if p[0] == "expr"):
+    # select expressions (post-aggregation when hidden agg columns exist)
+    for sql, alias in expr_projs:
         df = _ensure_companions(df, sql)
         df = df.withColumn(alias, F.expr(sql))
+    if hidden:
+        df = df.drop(*[al for _, _, _, al in hidden])
 
     if q.variables:
         df = df.select(*q.variables)

@@ -761,3 +761,31 @@ def test_having_inline_sum_distinct(graph):
         }} GROUP BY ?rn HAVING (COUNT(DISTINCT ?n) >= 5)""",
     )
     assert df.count() == 5  # every region has exactly 5 nations
+
+
+def test_select_expression_over_aggregates(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn (ROUND(AVG(?bal)) AS ?avg_bal)
+               ((SUM(?bal) / COUNT(*)) AS ?mean2)
+        WHERE {{
+            ?c a ex:Customer . ?c ex:acctbal ?bal .
+            ?c ex:inNation ?n . ?n ex:inRegion ?r . ?r ex:name ?rn .
+        }} GROUP BY ?rn ORDER BY ?rn""",
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert set(df.columns) == {"rn", "avg_bal", "mean2"}
+    for r in rows:
+        assert abs(float(r["avg_bal"]) - round(float(r["mean2"]))) <= 1
+
+
+def test_global_expression_aggregate_no_group(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ((COUNT(*) * 2) AS ?twice) WHERE {{ ?r a ex:Region }}""",
+    )
+    [row] = df.collect()
+    assert int(row["twice"]) == 10
