@@ -49,16 +49,25 @@ def shingles(text_col, n: int = 3):
     )
 
 
-def _minhash_fn(j: int, col, hash_family: str):
-    """Per-seed shingle hash.  Two families, SAME algorithm:
-      * 'xxhash64' — fastest JVM path (bench default);
-      * 'md5'      — cross-engine replayable (DuckDB has md5; MIN over
-        lowercase-hex strings is a valid minhash total order), used by
-        the driver-oracle-checked query so correctness is proven on the
-        exact operator shape."""
-    if hash_family == "md5":
-        return F.md5(F.concat(F.lit(f"{j}:"), col))
-    return F.xxhash64(col, F.lit(j))
+# Mersenne prime 2^31-1: keeps every product a_j*h below 2^62, so the
+# permutation arithmetic stays exact in 64-bit integers on BOTH engines
+# (Spark BIGINT and DuckDB BIGINT compute bit-identical results).
+MINHASH_PRIME = 2147483647
+
+
+def minhash_perm_coeffs(num_hashes: int, salt: str = "minhash") -> list:
+    """Deterministic (a_j, b_j) pairs for the Broder 2-universal
+    permutation family g_j(x) = (a_j·h1 + b_j·h2) mod p.  Derived from
+    md5 of the salt+index so Spark and the DuckDB oracle share the
+    identical constants without any runtime randomness."""
+    import hashlib
+
+    out = []
+    for j in range(num_hashes):
+        a = int(hashlib.md5(f"{salt}:{j}:a".encode()).hexdigest(), 16) % (MINHASH_PRIME - 1) + 1
+        b = int(hashlib.md5(f"{salt}:{j}:b".encode()).hexdigest(), 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
 
 
 def minhash_signatures(
@@ -69,8 +78,18 @@ def minhash_signatures(
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """→ (id, sig: array) — sig[j] = min over shingles of
-    hash_j(shingle) (bigint for xxhash64, hex string for md5).
+    """→ (id, sig: array<bigint>) — sig[j] = min over shingles of
+    hash_j(shingle).
+
+    Two families, SAME plan shape:
+      * 'xxhash64' — k independent seeded JVM hashes (fastest pure-JVM
+        option when only one engine needs to replay them);
+      * 'md5'      — cross-engine replayable AND cheaper per shingle:
+        each distinct shingle is hashed ONCE (md5 → two 60-bit halves
+        reduced mod p), and the k per-seed hashes are the Broder
+        arithmetic permutations g_j = (a_j·h1 + b_j·h2) mod p — ~k×
+        less hashing on the dominant stage, and DuckDB replays the
+        identical integer arithmetic for the driver oracle.
 
     Shape: explode shingles → k hash columns → groupBy(id).agg(k mins).
     The k mins run with map-side partial aggregation, so the shuffle
@@ -84,10 +103,23 @@ def minhash_signatures(
             F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
         )
     )
-    mins = [
-        F.min(_minhash_fn(j, F.col("s"), hash_family)).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
+    if hash_family == "md5":
+        p = F.lit(MINHASH_PRIME)
+        ex = ex.select("id", F.md5("s").alias("m")).select(
+            "id",
+            (F.conv(F.substring("m", 1, 15), 16, 10).cast("long") % p).alias("h1"),
+            (F.conv(F.substring("m", 17, 15), 16, 10).cast("long") % p).alias("h2"),
+        )
+        coeffs = minhash_perm_coeffs(num_hashes)
+        mins = [
+            F.min((F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % p).alias(f"h{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
     agg = ex.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
 

@@ -72,16 +72,18 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def clean_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Normalization/redaction pass a pretraining corpus runs before
-    tokenization: collapse whitespace, strip non-printables, mask number
-    runs and email-shaped tokens.  Pure Catalyst regexp chain."""
-    t = F.col(text_col)
+def clean_expr(t):
+    """Normalization/redaction expression a pretraining corpus runs
+    before tokenization: collapse whitespace, strip non-printables, mask
+    number runs and email-shaped tokens.  Pure Catalyst regexp chain."""
     t = F.regexp_replace(t, r"[\x00-\x1f]", " ")
     t = F.regexp_replace(t, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
     t = F.regexp_replace(t, r"\d[\d,.]*", "<NUM>")
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))
-    return df.select(F.col(id_col), t.alias("clean_text"))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def clean_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), clean_expr(F.col(text_col)).alias("clean_text"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -89,6 +91,73 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (cross-engine reproducible, unlike xxhash64 which DuckDB lacks)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+# GPT-2-style pre-tokenization shape: letter runs / digit runs /
+# punctuation runs with leading-space attachment.
+BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def text_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    clean_text_col: str | None = None,
+) -> DataFrame:
+    """Per-document text-ops profile in ONE narrow projection (no
+    shuffle, no self-joins): token stats + BPE-ish token count +
+    content fingerprint + cleaned text.  ``clean_text_col`` lets the
+    redaction run over a different column (e.g. an augmented copy) than
+    the stats; defaults to ``text_col``."""
+    toks = F.split(F.col(text_col), " ")
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.md5(norm).alias("fingerprint"),
+        clean_expr(F.col(clean_text_col or text_col)).alias("clean_text"),
+    )
+
+
+def quality_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality features + language ID in ONE narrow projection (the
+    fused form of :func:`quality_score` + :func:`language_id` — the
+    corpus-filter stage computes both anyway, so fusing halves the
+    scans at 100 TB)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    punct = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    ).cast("double")
+    mean_word_len = (F.length(text_col) - (n - 1)) / n
+    score = F.when(n < 5, 0.0).otherwise(
+        F.round(
+            0.4 * F.least(distinct_ratio * 2, F.lit(1.0))
+            + 0.3 * F.least(stop_hits / n * 10, F.lit(1.0))
+            + 0.3 * F.when((mean_word_len >= 3) & (mean_word_len <= 8), 1.0).otherwise(0.3),
+            6,
+        )
+    )
+    ltoks = F.split(F.lower(F.col(text_col)), " ")
+    lhits = F.size(F.filter(ltoks, lambda t: t.isin(EN_STOPWORDS))).cast("double")
+    en_ratio = F.round(lhits / F.size(ltoks), 6)
+    return df.select(
+        F.col(id_col),
+        F.round(stop_hits / n, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(punct / F.length(text_col), 6).alias("punct_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        score.alias("quality"),
+        en_ratio.alias("en_ratio"),
+        F.when(en_ratio >= 0.05, "en").otherwise("unk").alias("lang_guess"),
+    )
 
 
 def winnow_fingerprints(

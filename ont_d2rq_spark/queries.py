@@ -1413,15 +1413,26 @@ def q_minhash_dedup(spark, sf_dir):
 
 def sql_minhash_dedup(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
     """DuckDB replay of the FULL minhash pipeline (md5 hash family):
-    shingle → 64 per-seed min-hashes → 16-band buckets → candidate
-    self-join → exact Jaccard verification."""
+    shingle → ONE md5 per shingle split into two 60-bit halves →
+    64 Broder arithmetic permutations (a_j·h1 + b_j·h2 mod 2³¹−1, the
+    same constants the Spark operator derives) → 16-band buckets →
+    candidate self-join → exact Jaccard verification."""
+    from ont_d2rq_spark.operators.dedup import MINHASH_PRIME, minhash_perm_coeffs
+
+    p = MINHASH_PRIME
+    coeffs = minhash_perm_coeffs(num_hashes)
     rows = num_hashes // bands
     mins = ",\n       ".join(
-        f"MIN(md5('{j}:' || s)) AS h{j}" for j in range(num_hashes)
+        f"MIN(({a}*h1 + {b}*h2) % {p}) AS h{j}" for j, (a, b) in enumerate(coeffs)
     )
     bstructs = ",\n    ".join(
         "{'band': %d, 'bucket': md5(%s)}"
-        % (b, " || ',' || ".join(f"h{b * rows + r}" for r in range(rows)))
+        % (
+            b,
+            " || ',' || ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
         for b in range(bands)
     )
     return rf"""
@@ -1435,7 +1446,12 @@ sh AS (
                             FOR i IN range(0, greatest(len(t) - 3, 0) + 1)]) AS grams
   FROM norm
 ),
-ex AS (SELECT id, unnest(grams) AS s FROM sh),
+ex AS (
+  SELECT id,
+         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p} AS h1,
+         CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) % {p} AS h2
+  FROM (SELECT id, unnest(grams) AS s FROM sh)
+),
 sig AS (SELECT id, {mins} FROM ex GROUP BY id),
 banded AS (
   SELECT id, unnest([
