@@ -150,8 +150,12 @@ def bgp_over_triples(tdf: DataFrame, patterns) -> DataFrame:
     pushdown-compiled VirtualGraph.bgp path."""
     frames: list[DataFrame] = []
     for s, p, o in patterns:
-        if isinstance(p, (PathPlus, tuple)):
-            raise ValueError("property paths not supported over a triple frame")
+        if isinstance(p, (PathPlus, NegatedSet, PathGroup, tuple)):
+            # fail loudly: silently stringifying a path/negated-set term
+            # would compare pred == "NegatedSet(...)" and return empty
+            raise ValueError(
+                "property paths / negated sets not supported over a triple frame"
+            )
         f = tdf
         sel: list = []
         seen: dict = {}
@@ -210,10 +214,54 @@ def _is_companion(col: str) -> bool:
     return col.endswith(_COMPANION_SUFFIXES)
 
 
+def bgp_join_order(patterns, pat_vars, closure_idxs=frozenset()) -> list:
+    """Join order for a BGP: start from the most-bound (most-selective)
+    pattern, then greedily add patterns CONNECTED to the accumulated
+    variable set, most-bound first; disconnected groups fall back to
+    the next most-bound seed (cross join, as before).  Ties keep the
+    written order.  This is the Spark analogue of the reference's
+    URIMakerRule ordering (find/URIMakerRule.java): concrete URIs and
+    literals prune relations before the big joins, so intermediates
+    start small; AQE then only repairs the residual mis-estimates
+    rather than a structurally bad first join.
+
+    Closure/negated-set patterns (``closure_idxs``) score 0 — their
+    frames are iterative results with no stats, never a good seed."""
+
+    def bound_count(i):
+        if i in closure_idxs:
+            return 0
+        n = 0
+        for t in patterns[i]:
+            if t is None or isinstance(t, (PathPlus, NegatedSet, PathGroup, tuple)):
+                continue
+            if not _is_var(t):
+                n += 1
+        return n
+
+    remaining = set(range(len(patterns)))
+    order: list = []
+    cur_vars: set = set()
+    while remaining:
+        connected = [i for i in remaining if cur_vars & pat_vars[i]] if order else []
+        pool = connected or remaining
+        nxt = max(pool, key=lambda i: (bound_count(i), -i))
+        order.append(nxt)
+        remaining.remove(nxt)
+        cur_vars |= pat_vars[nxt]
+    return order
+
+
 _COMP_TOKEN = re.compile(r"\b\w+?__(?:dt|lang|islit)\b")
 
 
-def optional_join(left: DataFrame, right: DataFrame, filters=()) -> DataFrame:
+def optional_join(
+    left: DataFrame,
+    right: DataFrame,
+    filters=(),
+    maybe_unbound=frozenset(),
+    how: str = "left",
+) -> DataFrame:
     """SPARQL LeftJoin(Ω1, Ω2, expr): a right solution joins a left one
     when they are compatible on the shared variables AND every filter
     expression holds over the MERGED row; left solutions with no such
@@ -223,12 +271,26 @@ def optional_join(left: DataFrame, right: DataFrame, filters=()) -> DataFrame:
     filter un-binds the optional part instead of dropping the row
     (the classic leftjoin-vs-filter distinction).
 
-    With no filters this degrades to the plain shared-variable left
-    join (constant-true condition when the domains are disjoint, which
-    preserves left rows against an empty right side)."""
+    ``maybe_unbound`` names left-side variables that can be NULL
+    (introduced by an earlier OPTIONAL / UNION branch / VALUES UNDEF).
+    For those, SPARQL compatibility treats unbound-vs-bound as
+    compatible — the condition becomes isNull-or-equal and the merged
+    binding coalesces — while fully-bound shared vars keep the plain
+    (hash-joinable) equality.  Callers track the set so the common
+    all-bound case never pays the non-equi-join price.
+
+    With no filters and no maybe-unbound shared vars this degrades to
+    the plain shared-variable left join (constant-true condition when
+    the domains are disjoint, which preserves left rows against an
+    empty right side)."""
     shared = [c for c in left.columns if c in right.columns and not _is_companion(c)]
+    compat = [c for c in shared if c in maybe_unbound]
     right = right.drop(
-        *[c for c in right.columns if _is_companion(c) and c in left.columns]
+        *[
+            c
+            for c in right.columns
+            if _is_companion(c) and c in left.columns and c[: c.rfind("__")] not in compat
+        ]
     )
     # companions referenced by a filter but produced by neither side
     # default to NULL / false (untyped binding)
@@ -238,19 +300,42 @@ def optional_join(left: DataFrame, right: DataFrame, filters=()) -> DataFrame:
                 tok,
                 F.lit(False) if tok.endswith("__islit") else F.lit(None).cast("string"),
             )
-    if not filters:
+    if not filters and not compat:
         if shared:
-            return left.join(right, on=shared, how="left")
-        return left.join(right, F.lit(True), "left")
+            return left.join(right, on=shared, how=how)
+        if how == "left":
+            return left.join(right, F.lit(True), "left")
+        return left.crossJoin(right)
     ren = {c: "__lj_" + c for c in shared}
-    for c, rc in ren.items():
-        right = right.withColumnRenamed(c, rc)
+    for c in list(right.columns):
+        base = c[: c.rfind("__")] if _is_companion(c) else None
+        if c in ren:
+            right = right.withColumnRenamed(c, ren[c])
+        elif base in compat:
+            right = right.withColumnRenamed(c, "__lj_" + c)
     cond = F.lit(True)
     for c, rc in ren.items():
-        cond = cond & (F.col(c) == F.col(rc))
+        if c in compat:
+            cond = cond & (F.col(c).isNull() | (F.col(c) == F.col(rc)))
+        else:
+            cond = cond & (F.col(c) == F.col(rc))
     for f in filters:
         cond = cond & F.expr(f)
-    return left.join(right, cond, "left").drop(*ren.values())
+    out = left.join(right, cond, how)
+    # merge compat vars: an unbound left binding adopts the right value
+    # (and its typed-literal companions)
+    for c in compat:
+        for suf in _COMPANION_SUFFIXES:
+            lc, rc = f"{c}{suf}", f"__lj_{c}{suf}"
+            if rc in out.columns:
+                merged = (
+                    F.when(F.col(c).isNull(), F.col(rc)).otherwise(F.col(lc))
+                    if lc in out.columns
+                    else F.when(F.col(c).isNull(), F.col(rc))
+                )
+                out = out.withColumn(lc, merged)
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(ren[c])))
+    return out.drop(*[c for c in out.columns if c.startswith("__lj_")])
 
 
 class VirtualGraph:
@@ -751,6 +836,27 @@ class VirtualGraph:
                 )
             )
 
+        # selectivity-ordered join: most-bound pattern first, then
+        # greedily extend with connected patterns (shared variable with
+        # the accumulated frame) — see bgp_join_order.  Inner joins
+        # commute, so the result is identical; the ORDER decides the
+        # size of intermediates, which AQE can only partially repair
+        # after a bad start (URIMakerRule ordering in the reference).
+        pat_vars = []
+        for idx in range(len(patterns)):
+            if idx in closure_frames:
+                pat_vars.append(
+                    {c for c in frames[idx].columns if not _is_companion(c)}
+                )
+            else:
+                vs = set()
+                for t in patterns[idx]:
+                    if t is not None and _is_var(t):
+                        vs.add(_var_name(t))
+                pat_vars.append(vs)
+        order = bgp_join_order(patterns, pat_vars, set(closure_frames))
+        frames = [frames[i] for i in order]
+
         def _merge(left, right, how):
             # join on the VARIABLE columns only; companion columns are
             # metadata (NULL-heavy — null keys would drop rows).  The
@@ -777,11 +883,23 @@ class VirtualGraph:
             out = out.filter(~F.col(name).isin(*excl)).drop(
                 name, *[name + sfx for sfx in _COMPANION_SUFFIXES]
             )
+        maybe_unbound: set = set()
         for group in optional or []:
             # entry: plain pattern list, or (patterns, group-scoped
             # filters) — filters evaluate inside the LeftJoin condition
             pats, filts = group if isinstance(group, tuple) else (group, [])
-            out = optional_join(out, self.bgp(pats), filts)
+            rdf = self.bgp(pats)
+            # shared vars that were definitely bound on the left stay
+            # bound after the left join; everything else the optional
+            # group binds can be NULL in later groups and needs
+            # compatibility (not equality) semantics there
+            shared_bound = {
+                c for c in out.columns if c in rdf.columns and not _is_companion(c)
+            } - maybe_unbound
+            out = optional_join(out, rdf, filts, maybe_unbound=maybe_unbound)
+            maybe_unbound |= {
+                c for c in rdf.columns if not _is_companion(c)
+            } - shared_bound
         for f in filters or []:
             out = out.filter(F.expr(f))
         return out

@@ -128,9 +128,12 @@ def lsh_banded(
     per-element), which at planes=8/tables=32 made the projection the
     whole query's bottleneck (~5× the rest of the join combined).
     Both paths quantize with round-half-away-from-zero to exact int64
-    and produce BIT-IDENTICAL buckets (the DuckDB oracle replays the
-    same integer arithmetic), so the fast path is safe for the
-    correctness gate."""
+    and produce identical buckets (the DuckDB oracle replays the same
+    integer arithmetic).  Caveat: numpy's floor(x·1e6 + 0.5) and the
+    engines' decimal HALF_UP agree except when x·1e6 lands within half
+    an ulp of k+0.5 for integer k — possible in principle for arbitrary
+    doubles, never observed on the float32-derived fixtures; the
+    oracle-checked query pins the agreement on real data each round."""
     tables, planes = len(mats), len(mats[0])
     if not arrow:
         base = df.select(F.col(id_col).alias(idn), quantized(F.col(vec_col)).alias("_q"))
@@ -355,12 +358,15 @@ def lsh_near_dup_pairs(
         .distinct()
     )
     if with_stats:
-        # the stats aggregate and the verification join both consume
-        # `cand`; without a persist the projection (planes×tables dot
+        # the stats count and the verification join both consume `cand`;
+        # without materialization the projection (planes×tables dot
         # products per row) and the banding self-join would run TWICE —
-        # measured 2.7× wall on the sf0.1 bench.  The deduped pair list
-        # is small (≪ n², that's the point), so caching it is cheap.
-        cand = cand.persist()
+        # measured 2.7× wall on the sf0.1 bench.  localCheckpoint
+        # (eager) instead of persist(): the blocks are freed by the
+        # ContextCleaner as soon as the caller drops the frame, not
+        # leaked for the session, and the deduped pair list is small
+        # (≪ n², that's the point), so materializing it is cheap.
+        cand = cand.localCheckpoint(eager=True)
     v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     out = (
         cand.join(v.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")

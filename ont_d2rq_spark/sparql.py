@@ -69,8 +69,14 @@ union of the two directions).  VALUES supports UNDEF (NULL cell +
 null-safe join).  DESCRIBE emits the full Concise Bounded Description
 (bNode fixpoint expansion).
 
-Not supported (raise): SERVICE (no network), repetition over a
-negated set.
+Not supported (raise): SERVICE (permanently excluded — this engine
+runs without network access; the reference gets federation free from
+ARQ), repetition over a negated set, and non-filter constructs
+(BIND/VALUES/MINUS/UNION/EXISTS/GRAPH/OPTIONAL/subquery) nested INSIDE
+an OPTIONAL/UNION/MINUS/EXISTS/GRAPH group — flattening them would
+silently change their scope, so the parser raises instead.  Group
+bodies support triple patterns + group-scoped FILTERs; nest anything
+richer via a subquery.
 """
 
 from __future__ import annotations
@@ -452,17 +458,35 @@ class _P:
         return pats, subq
 
     @staticmethod
-    def _reattach(q: Query, subq: Query):
-        """Hoist a sub-group's non-filter content to the outer query —
-        evaluated against the merged solution, as a flat parse would."""
-        q.binds.extend(subq.binds)
-        q.values_clauses.extend(subq.values_clauses)
-        q.minus.extend(subq.minus)
-        q.union.extend(subq.union)
-        q.exists.extend(subq.exists)
-        q.graphs.extend(subq.graphs)
-        q.subqueries.extend(subq.subqueries)
-        q.optional.extend(subq.optional)
+    def _reattach(q: Query, subq: Query, ctx: str = "group"):
+        """Re-attach a sub-group's non-filter, non-pattern content to
+        the outer query.  Hoisting such content OUT of an
+        OPTIONAL/UNION/MINUS/EXISTS/GRAPH group would silently change
+        its scope (e.g. a FILTER EXISTS written inside an OPTIONAL
+        would gate the whole solution instead of the optional part), so
+        anything whose flattening is semantics-changing raises instead
+        of being silently re-scoped."""
+        unsupported = [
+            name
+            for name, coll in (
+                ("BIND", subq.binds),
+                ("VALUES", subq.values_clauses),
+                ("MINUS", subq.minus),
+                ("UNION", subq.union),
+                ("FILTER EXISTS", subq.exists),
+                ("GRAPH", subq.graphs),
+                ("subquery", subq.subqueries),
+                ("OPTIONAL", subq.optional),
+            )
+            if coll
+        ]
+        if unsupported:
+            raise SparqlError(
+                f"{'/'.join(unsupported)} nested inside {ctx} is not "
+                "supported: flattening it to the outer group would change "
+                "its scope (rewrite the query with the nested construct "
+                "at group level, or use a subquery)"
+            )
 
     def _group(self, patterns: list, q: Query):
         while True:
@@ -508,7 +532,7 @@ class _P:
                     self.expect("{")
                     grp, eq = self._braced()
                     q.exists.append((neg, grp, eq.filters))
-                    self._reattach(q, eq)
+                    self._reattach(q, eq, "FILTER EXISTS")
                     if wrapped:
                         self.expect(")")
                     continue
@@ -523,7 +547,7 @@ class _P:
                 # dropping the solution
                 sub, subq = self._braced()
                 q.optional.append((sub, subq.filters))
-                self._reattach(q, subq)
+                self._reattach(q, subq, "OPTIONAL")
                 continue
             if g == "{":
                 self.next()
@@ -545,19 +569,19 @@ class _P:
                 # Each branch's FILTERs scope to that branch alone.
                 first, fq = self._braced()
                 q.union.append((first, fq.filters))
-                self._reattach(q, fq)
+                self._reattach(q, fq, "a UNION branch")
                 while self.kw("UNION"):
                     self.expect("{")
                     alt, aq = self._braced()
                     q.union.append((alt, aq.filters))
-                    self._reattach(q, aq)
+                    self._reattach(q, aq, "a UNION branch")
                 continue
             if g.upper() == "MINUS":
                 self.next()
                 self.expect("{")
                 sub2, mq = self._braced()
                 q.minus.append((sub2, mq.filters))
-                self._reattach(q, mq)
+                self._reattach(q, mq, "MINUS")
                 continue
             if g.upper() == "BIND":
                 self.next()
@@ -614,7 +638,7 @@ class _P:
                 self.expect("{")
                 gpats, gq = self._braced()
                 q.graphs.append((gterm, gpats, gq.filters))
-                self._reattach(q, gq)
+                self._reattach(q, gq, "GRAPH")
                 continue
             if g.upper() == "SERVICE":
                 raise SparqlError("SERVICE not supported (no network)")
@@ -1065,29 +1089,38 @@ def _describe_frame(
         else:
             frames.append(graph.find(s=str(term)))
     out = _reduce(lambda a, b: a.unionByName(b), frames)
-    # CBD fixpoint: chase bNode objects (each round = bNodes one level
-    # deeper; the frontier is tiny, so it is collected driver-side and
-    # fed back as a broadcast semi-join)
-    described: set = set()
+    # CBD fixpoint: chase bNode objects, FULLY DISTRIBUTED (no driver
+    # collect — same discipline as operators/closure.py): each round
+    # takes the bNode objects of only the PREVIOUS round's new triples,
+    # anti-joins the already-described set, and semi-joins the full
+    # graph.  Frontier and new-triples frames are lazily
+    # localCheckpoint-ed and materialized by the single convergence
+    # count — one Spark job per round, nothing re-executed.  The
+    # frontier is explicitly broadcast (iterative outputs carry no
+    # stats, so Catalyst would otherwise pick a sort-merge join).
+    described = graph.spark.createDataFrame([], "subj string")
+    out = out.localCheckpoint(eager=False)  # seed executes once, not per round
+    cbd_frames = [out]
+    cur = out
     for _ in range(max_bnode_depth):
-        frontier = {
-            r["obj"]
-            for r in out.filter(
-                ~F.col("is_literal") & F.col("obj").startswith("_:")
-            )
-            .select("obj")
+        newb = (
+            cur.filter(~F.col("is_literal") & F.col("obj").startswith("_:"))
+            .select(F.col("obj").alias("subj"))
             .distinct()
-            .collect()
-        } - described
-        if not frontier:
+        )
+        frontier = newb.join(described, "subj", "left_anti").localCheckpoint(
+            eager=False
+        )
+        if frontier.count() == 0:
             break
-        described |= frontier
         if all_t is None:
             all_t = graph.triples(fuse=True)
-        bn = graph.spark.createDataFrame(
-            [(b,) for b in frontier], "subj string"
+        cur = all_t.join(F.broadcast(frontier), "subj", "left_semi").localCheckpoint(
+            eager=False
         )
-        out = out.unionByName(all_t.join(F.broadcast(bn), "subj", "left_semi"))
+        cbd_frames.append(cur)
+        described = described.unionByName(frontier)
+    out = _reduce(lambda a, b: a.unionByName(b), cbd_frames)
     return out.dropDuplicates(["subj", "pred", "obj", "obj_datatype", "obj_lang"])
 
 
@@ -1098,13 +1131,36 @@ def execute(graph, query: str) -> DataFrame:
     return _execute_query(graph, parse(query))
 
 
+def _pattern_vars(pats) -> set:
+    """Variable names a pattern list can bind (s/p/o term positions)."""
+    from ont_d2rq_spark.graph import _is_var, _var_name
+
+    vs = set()
+    for s, p, o in pats:
+        for t in (s, p, o):
+            if t is not None and _is_var(t):
+                vs.add(_var_name(t))
+    return vs
+
+
 def _execute_query(graph, q: Query) -> DataFrame:
     from ont_d2rq_spark.graph import _is_companion
 
     if q.form == "DESCRIBE" and not q.patterns and not q.union:
         return _describe_frame(graph, None, q.describe)
+    # vars that can be NULL (unbound) in `df` rows: introduced by
+    # OPTIONAL groups, UNION branches that don't bind them, or VALUES
+    # UNDEF cells.  Downstream joins (later OPTIONALs, EXISTS, MINUS,
+    # main-pattern join) give these SPARQL compatibility semantics
+    # (unbound matches anything) instead of null-rejecting equality.
+    maybe_unbound: set = set()
     if not q.union:
         df = graph.bgp(q.patterns, optional=q.optional) if q.patterns else None
+        if q.patterns:
+            main_vars = _pattern_vars(q.patterns)
+            for grp in q.optional:
+                pats = grp[0] if isinstance(grp, tuple) else grp
+                maybe_unbound |= _pattern_vars(pats) - main_vars
     else:
         # { A } UNION { B }: each alternative binds its own variables;
         # columns missing from one side become NULL (unbound)
@@ -1122,17 +1178,42 @@ def _execute_query(graph, q: Query) -> DataFrame:
         df = _reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+        # a var missing from any branch is NULL in that branch's rows
+        part_cols = [
+            {c for c in p.columns if not _is_companion(c)} for p in parts
+        ]
+        maybe_unbound |= set.union(*part_cols) - set.intersection(*part_cols)
         if q.patterns:
+            from ont_d2rq_spark.graph import optional_join
+
             main = graph.bgp(q.patterns)
+            # join main ⋈ union with compatibility on maybe-unbound vars
+            # (left = main is fully bound, so pass the union side left
+            # only when compat is actually needed)
             shared = [
                 c for c in main.columns if c in df.columns and not _is_companion(c)
             ]
-            df = df.drop(*[c for c in df.columns if _is_companion(c) and c in main.columns])
-            df = main.join(df, on=shared, how="inner") if shared else main.crossJoin(df)
+            if set(shared) & maybe_unbound:
+                df = optional_join(
+                    df, main, maybe_unbound=maybe_unbound, how="inner"
+                )
+                maybe_unbound -= set(shared)  # inner-join merge binds them
+            else:
+                df = df.drop(
+                    *[c for c in df.columns if _is_companion(c) and c in main.columns]
+                )
+                df = main.join(df, on=shared, how="inner") if shared else main.crossJoin(df)
         for pats, filts in q.optional:
             from ont_d2rq_spark.graph import optional_join
 
-            df = optional_join(df, graph.bgp(pats), filts)
+            rdf = graph.bgp(pats)
+            shared_bound = {
+                c for c in df.columns if c in rdf.columns and not _is_companion(c)
+            } - maybe_unbound
+            df = optional_join(df, rdf, filts, maybe_unbound=maybe_unbound)
+            maybe_unbound |= {
+                c for c in rdf.columns if not _is_companion(c)
+            } - shared_bound
 
     # subqueries evaluate independently, join on shared variables
     for sub in q.subqueries:
@@ -1222,6 +1303,10 @@ def _execute_query(graph, q: Query) -> DataFrame:
                 else df.withColumn(v, F.col(f"__val_{v}"))
             )
         df = df.drop(*[f"__val_{v}" for v in vars_])
+        # a var with an UNDEF cell can remain NULL after the merge
+        for i, v in enumerate(vars_):
+            if any(row[i] is None for row in rows):
+                maybe_unbound.add(v)
     # BIND: new columns (evaluated before FILTERs, see module doc)
     for b in q.binds:
         expr, var, meta = b if len(b) == 3 else (*b, None)
@@ -1251,7 +1336,18 @@ def _execute_query(graph, q: Query) -> DataFrame:
             sub = sub.filter(F.expr(f))
         shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
         how = "left_anti" if neg else "left_semi"
-        if shared:
+        compat = [c for c in shared if c in maybe_unbound]
+        if compat:
+            # SPARQL compatibility: an unbound var on the outer row is
+            # compatible with any inner binding (null-rejecting equality
+            # would silently miss matches here)
+            sub = sub.select(*[F.col(c).alias(f"__ex_{c}") for c in shared])
+            cond = F.lit(True)
+            for c in shared:
+                eq = F.col(c) == F.col(f"__ex_{c}")
+                cond = cond & ((F.col(c).isNull() | eq) if c in compat else eq)
+            df = df.join(sub, cond, how)
+        elif shared:
             df = df.join(sub.select(*shared), on=shared, how=how)
         else:
             df = df.join(sub, F.lit(True), how)
@@ -1265,7 +1361,19 @@ def _execute_query(graph, q: Query) -> DataFrame:
             sub = _ensure_companions(sub, f)
             sub = sub.filter(F.expr(f))
         shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
-        if shared:
+        compat = [c for c in shared if c in maybe_unbound]
+        if compat:
+            # MINUS removes μ1 only when some μ2 is compatible AND
+            # dom(μ1)∩dom(μ2) ≠ ∅ — with per-row unbound vars that means
+            # at least one shared var bound on BOTH sides
+            sub = sub.select(*[F.col(c).alias(f"__mn_{c}") for c in shared])
+            cond, dom = F.lit(True), F.lit(False)
+            for c in shared:
+                eq = F.col(c) == F.col(f"__mn_{c}")
+                cond = cond & ((F.col(c).isNull() | eq) if c in compat else eq)
+                dom = dom | (F.col(c).isNotNull() & F.col(f"__mn_{c}").isNotNull())
+            df = df.join(sub, cond & dom, "left_anti")
+        elif shared:
             df = df.join(sub.select(*shared), on=shared, how="left_anti")
 
     if q.form == "ASK":

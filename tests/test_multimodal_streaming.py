@@ -57,6 +57,35 @@ def test_decode_batch_vectorized_matches_scalar_reference():
     assert len(eout) == 0
 
 
+@pytest.mark.skipif(not MM.HAVE_PIL, reason="PIL not installed (stub-only container)")
+def test_decode_media_pil_branch(spark):
+    """Capability-flag path: with PIL present, decode_media(use_pil=True)
+    reads real image headers; undecodable bytes fall back to the stub."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (40, 30), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [("img1", "image", png), ("fake1", "image", b"not-an-image")],
+        "media_ref string, kind string, content binary",
+    )
+    rows = {r["media_ref"]: r for r in MM.decode_media(df, use_pil=True).collect()}
+    assert (rows["img1"]["width"], rows["img1"]["height"]) == (40, 30)
+    assert sum(rows["img1"]["hist"]) == 40 * 30  # one bucket per pixel
+    w, h = MM._fake_decode(b"not-an-image")
+    assert (rows["fake1"]["width"], rows["fake1"]["height"]) == (w, h)
+
+
+def test_pil_flag_matches_environment():
+    """HAVE_PIL is a live probe of the environment, not a constant."""
+    import importlib.util
+
+    assert MM.HAVE_PIL == (importlib.util.find_spec("PIL") is not None)
+
+
 def test_resize_plan(spark):
     """Aspect-preserving fit: longest side capped, aspect ratio kept
     (within integer floor), never upscaled."""

@@ -73,6 +73,61 @@ def test_unfused_dump_scans_more(graph):
     assert fused < unfused  # fusion actually reduced scan count
 
 
+def test_bgp_join_order_most_bound_first():
+    """A 3-pattern BGP with one bound pattern joins that pattern first,
+    then extends along shared variables (never a cross-join detour)."""
+    from ont_d2rq_spark.graph import Var, bgp_join_order
+
+    pats = [
+        (Var("?c"), "http://example.org/name", Var("?n")),       # 1 bound
+        (Var("?c"), Var("?p"), Var("?o")),                        # 1 bound (none — all vars)
+        (Var("?c"), "http://example.org/inNation",
+         "http://example.org/nation/3"),                          # 2 bound
+    ]
+    pv = [{"c", "n"}, {"c", "p", "o"}, {"c"}]
+    assert bgp_join_order(pats, pv) == [2, 0, 1]
+
+
+def test_bgp_join_order_connectivity_before_bound_count():
+    """After the seed, connectivity wins over raw bound count: a
+    disconnected pattern (cross join) must not interleave into a
+    connected chain."""
+    from ont_d2rq_spark.graph import Var, bgp_join_order
+
+    pats = [
+        (Var("?a"), "p1", Var("?b")),   # 1 bound, connects seed via ?b
+        (Var("?x"), "p2", "o2"),        # 2 bound but disconnected
+        (Var("?b"), "p3", "o3"),        # 2 bound
+    ]
+    pv = [{"a", "b"}, {"x"}, {"b"}]
+    # seed: ties on bound count keep written order → pattern 1; nothing
+    # connects to ?x, so next seed is the most-bound remaining (2),
+    # then its connected neighbor (0)
+    assert bgp_join_order(pats, pv) == [1, 2, 0]
+
+
+def test_bgp_reorder_preserves_results(graph):
+    """Join order is a physical choice: the reordered BGP returns the
+    same bindings as the written order implies."""
+    from ont_d2rq_spark.graph import Var
+
+    ex = "http://example.org/"
+    df = graph.bgp(
+        [
+            (Var("?c"), ex + "name", Var("?n")),          # huge (all names)
+            (Var("?c"), Var("?p"), Var("?o")),            # huger (everything)
+            (Var("?c"), ex + "inNation", ex + "nation/3"),  # tiny, most bound
+        ]
+    )
+    # nation/3's customers × their properties; spot-check one binding set
+    cs = {r["c"] for r in df.select("c").distinct().collect()}
+    expect = {
+        r["subj"]
+        for r in graph.find(p=ex + "inNation", o=ex + "nation/3").collect()
+    }
+    assert cs == expect and len(cs) > 0
+
+
 def test_whole_stage_codegen_covers_mint(graph):
     cb = next(b for b in graph.bridges if b.name == "customer.name")
     p = plan(graph.compiler.bridge_df(cb))

@@ -11,6 +11,16 @@ from ont_d2rq_spark.queries import FLAGSHIP, QUERIES, oracles
 DRIVER_WINDOW = 50
 
 
+def test_registry_fits_driver_window():
+    # EVERY key must get a driver CORRECTNESS row each round: the driver
+    # evaluates only the first 50 keys, so the registry must not exceed
+    # 50 (merge redundant shapes into composites instead of appending).
+    assert len(QUERIES) <= DRIVER_WINDOW, (
+        f"registry has {len(QUERIES)} keys; keys beyond the first "
+        f"{DRIVER_WINDOW} get no driver correctness row"
+    )
+
+
 def test_flagships_inside_driver_window():
     window = list(QUERIES)[:DRIVER_WINDOW]
     missing = [k for k in FLAGSHIP if k not in window]

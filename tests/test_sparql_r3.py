@@ -2,6 +2,7 @@
 GRAPH over named graphs, full-CBD DESCRIBE."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from ont_d2rq_spark.examples import tpch_mapping
 from ont_d2rq_spark.graph import VirtualGraph
@@ -420,6 +421,63 @@ def test_describe_full_cbd(bnode_graph):
     assert len(bnodes) == 2, f"CBD must chase bNodes 2 levels, got {subjects}"
     labels = {r["obj"] for r in rows if r["pred"] == EX + "label"}
     assert len(labels) == 2  # one nation name + one region name
+
+
+def test_describe_cbd_wide_bnode_fanout(spark):
+    """CBD with a ~1.5k-bNode frontier in one round: the distributed
+    fixpoint (anti-join frontier, no driver collect) must chase every
+    customer bNode reached from the 25 described nations."""
+    from ont_d2rq_spark.mapping.model import (
+        ClassMap,
+        Database,
+        Join,
+        Mapping,
+        PropertyBridge,
+    )
+
+    m = Mapping(database=Database(base_dir=SF), base_iri=EX)
+    m.add_class_map(
+        ClassMap(
+            name="nat",
+            table="nation",
+            uri_pattern=EX + "nation/@@nation.n_nationkey@@",
+            classes=[EX + "Nation"],
+        )
+    )
+    m.add_class_map(
+        ClassMap(
+            name="custB",
+            table="customer",
+            bnode_id_columns=["customer.c_custkey"],
+            classes=[EX + "CustomerDetail"],
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="nat.member",
+            belongs_to_class_map="nat",
+            properties=[EX + "member"],
+            refers_to_class_map="custB",
+            join=[Join("nation.n_nationkey", "customer.c_nationkey", "=>")],
+        )
+    )
+    m.add_bridge(
+        PropertyBridge(
+            name="custB.label",
+            belongs_to_class_map="custB",
+            properties=[EX + "label"],
+            column="customer.c_name",
+        )
+    )
+    g = VirtualGraph(m, spark)
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    df = execute(
+        g, f"PREFIX ex: <{EX}> DESCRIBE ?n WHERE {{ ?n a ex:Nation }}"
+    )
+    bnode_subjects = df.filter(F.col("subj").startswith("_:")).select("subj").distinct()
+    assert bnode_subjects.count() == n_cust
+    labels = df.filter(F.col("pred") == EX + "label")
+    assert labels.count() == n_cust
 
 
 # ---- negated property sets ---------------------------------------------------

@@ -1,0 +1,143 @@
+"""Round-4 SPARQL semantics: solution compatibility over unbound
+(NULL) variables in chained OPTIONAL / EXISTS / MINUS — SPARQL treats
+an unbound shared variable as compatible with any binding; a
+null-rejecting equality join silently drops those solutions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ont_d2rq_spark.examples import tpch_mapping
+from ont_d2rq_spark.graph import VirtualGraph
+from ont_d2rq_spark.sparql import execute
+
+SF = "/root/testdata/sf0.001"
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    return VirtualGraph(tpch_mapping(SF), spark)
+
+
+def test_exists_over_partially_bound_var(graph):
+    """?r is bound only for region-1 nations; EXISTS over ?r must keep
+    the unbound rows (unbound is compatible with any binding)."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?r WHERE {{
+          ?n a ex:Nation .
+          OPTIONAL {{ ?n ex:inRegion ?r . FILTER(?r = <{EX}region/1>) }}
+          FILTER EXISTS {{ ?x ex:inRegion ?r }}
+        }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 25  # null-rejecting equality would keep only 5
+    assert sum(1 for r in rows if r["r"] is not None) == 5
+
+
+def test_not_exists_over_partially_bound_var(graph):
+    """NOT EXISTS with an unbound shared var: every outer row has a
+    compatible inner solution, so all rows drop."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?n a ex:Nation .
+          OPTIONAL {{ ?n ex:inRegion ?r . FILTER(?r = <{EX}region/1>) }}
+          FILTER NOT EXISTS {{ ?x ex:inRegion ?r }}
+        }}""",
+    )
+    assert df.count() == 0
+
+
+def test_chained_optional_adopts_binding(graph):
+    """A later OPTIONAL sharing a var that an earlier OPTIONAL left
+    unbound: the unbound row is compatible with EVERY right solution
+    and adopts its binding (SPARQL LeftJoin), instead of matching
+    nothing."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?r ?rn WHERE {{
+          ?n a ex:Nation .
+          OPTIONAL {{ ?n ex:inRegion ?r . FILTER(?r = <{EX}region/1>) }}
+          OPTIONAL {{ ?r ex:name ?rn . ?r a ex:Region }}
+        }}""",
+    )
+    rows = df.collect()
+    bound = [r for r in rows if r["n"] is not None]
+    # 5 region-1 nations keep their ?r (1 region name each);
+    # 20 unbound nations × 5 adoptable regions = 100
+    assert len(bound) == 105
+    adopted = [r for r in bound if r["rn"] is not None]
+    assert len(adopted) == 105  # every surviving row has a region name
+
+
+def test_minus_over_partially_bound_var(graph):
+    """MINUS with a maybe-unbound shared var: removal additionally
+    requires a shared var bound on BOTH sides (dom(μ1)∩dom(μ2)≠∅), so
+    unbound rows survive."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?r WHERE {{
+          ?n a ex:Nation .
+          OPTIONAL {{ ?n ex:inRegion ?r . FILTER(?r = <{EX}region/1>) }}
+          MINUS {{ ?x ex:inRegion ?r }}
+        }}""",
+    )
+    rows = df.collect()
+    # bound rows (?r = region/1) are removed; unbound rows survive
+    assert len(rows) == 20
+    assert all(r["r"] is None for r in rows)
+
+
+def test_union_unbound_var_in_exists(graph):
+    """A var bound by only one UNION branch is maybe-unbound; EXISTS
+    keeps the other branch's rows."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?r WHERE {{
+          {{ ?n a ex:Nation . ?n ex:inRegion ?r }} UNION {{ ?n a ex:Region }}
+          FILTER EXISTS {{ ?x ex:inRegion ?r }}
+        }}""",
+    )
+    assert df.count() == 30  # 25 nations (bound ?r) + 5 regions (unbound)
+
+
+def test_nested_group_content_raises(graph):
+    """Non-filter content inside an OPTIONAL/UNION group must raise —
+    flattening it to the outer group would silently change its scope."""
+    from ont_d2rq_spark.sparql import SparqlError, parse
+
+    with pytest.raises(SparqlError, match="nested inside OPTIONAL"):
+        parse(
+            f"""PREFIX ex: <{EX}>
+            SELECT ?n WHERE {{
+              ?n a ex:Nation .
+              OPTIONAL {{ ?n ex:inRegion ?r BIND(1 AS ?x) }}
+            }}"""
+        )
+    with pytest.raises(SparqlError, match="nested inside a UNION branch"):
+        parse(
+            f"""PREFIX ex: <{EX}>
+            SELECT ?n WHERE {{
+              {{ ?n a ex:Nation . OPTIONAL {{ ?n ex:inRegion ?r }} }}
+              UNION {{ ?n a ex:Region }}
+            }}"""
+        )
+
+
+def test_negated_set_in_graph_raises(graph):
+    """A negated property set inside GRAPH over a triple frame must fail
+    loudly, not silently return empty."""
+    with pytest.raises(Exception, match="not supported over a triple frame"):
+        execute(
+            graph,
+            f"""PREFIX ex: <{EX}>
+            SELECT ?s ?o WHERE {{
+              GRAPH <urn:x-d2rq:graph:vocabulary> {{ ?s !ex:name ?o }}
+            }}""",
+        ).collect()

@@ -1,0 +1,222 @@
+"""End-to-end 100×-shape soak (round-4 verdict item #8).
+
+Chains the three heaviest production paths — north-star KG pipeline
+(synth → Arrow-UDF mentions → link → CC → canonical rewrite), MinHash
+near-dup over documents, and LSH embedding near-dup — on a ×64 corpus
+(320k docs / 128k vectors), each stage writing parquet, and records the
+evidence the per-operator scale arguments only assert:
+
+  * per-job wall + output rows,
+  * peak per-stage shuffle read/write bytes (REST API, localhost UI),
+  * task-skew per stage: max/median task runtime on every stage with
+    ≥ 8 tasks — the acceptance bar is **no task > 4× median**.
+
+Corpus construction (deterministic, driver data only):
+  * documents ×64: doc_id key-shifted per replica AND every word
+    prefixed ``r{i}`` — replicas are unrelated documents, not exact
+    copies, so the near-dup structure is the planted per-copy one
+    (realistic post-exact-dedup corpus), not a degenerate 64-clique.
+  * embeddings ×64: vec_id key-shifted, vector rolled by i positions
+    with an alternating sign flip — decorrelates LSH buckets across
+    replicas (plain replication would put all 64 copies in the same
+    bucket and square the candidate volume).
+
+Scale levers exercised exactly as documented on the operators: LSH
+planes escalated 8 → 14 for the 64× corpus (buckets/table 256 → 16384,
+keeping candidate volume ≈ n²·tables/2^(planes+1) bounded).
+
+Writes BENCH/soak_pipeline.json.  Usage: python tools/soak_pipeline.py
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SRC = "/root/testdata/sf0.1"
+SOAK_DIR = "/dev/shm/soak_input"
+OUT_DIR = "/dev/shm/soak_out"
+K = 64
+UI_PORT = 4049
+
+
+def build_input(spark):
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    frames = []
+    for i in range(K):
+        frames.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
+                F.regexp_replace("text", r"(^| )", f"$1r{i}").alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+        )
+    reduce(lambda a, b: a.unionByName(b), frames).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(f"{SOAK_DIR}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    eframes = []
+    for i in range(K):
+        roll = i % dim
+        sign = 1.0 if i % 2 == 0 else -1.0
+        rolled = F.concat(
+            F.slice("embedding", roll + 1, dim - roll), F.slice("embedding", 1, roll)
+        )
+        eframes.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
+                F.transform(rolled, lambda x: x * F.lit(sign)).alias("embedding"),
+            )
+        )
+    reduce(lambda a, b: a.unionByName(b), eframes).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{SOAK_DIR}/embeddings.parquet")
+    # pipeline dims: customer as-is (broadcast-small link dictionary)
+    spark.read.parquet(f"{SRC}/customer.parquet").write.mode("overwrite").parquet(
+        f"{SOAK_DIR}/customer.parquet"
+    )
+
+
+def rest(path: str):
+    url = f"http://localhost:{UI_PORT}/api/v1{path}"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.load(r)
+
+
+def stage_metrics(app_id: str, since_stage: int):
+    """Stage-level shuffle bytes + task-skew for stages after a marker."""
+    stages = rest(f"/applications/{app_id}/stages?status=complete")
+    out = []
+    peak_write = peak_read = 0
+    worst = {"ratio": 0.0}
+    for s in stages:
+        sid = s["stageId"]
+        if sid < since_stage or s["numCompleteTasks"] < 8:
+            continue
+        peak_write = max(peak_write, s.get("shuffleWriteBytes", 0))
+        peak_read = max(peak_read, s.get("shuffleReadBytes", 0))
+        try:
+            q = rest(
+                f"/applications/{app_id}/stages/{sid}/{s['attemptId']}/taskSummary"
+                "?quantiles=0.0,0.5,1.0"
+            )
+            lo, med, mx = q["executorRunTime"]
+            ratio = (mx / med) if med > 0 else 1.0
+            row = {
+                "stage": sid,
+                "tasks": s["numCompleteTasks"],
+                "task_ms_median": round(med),
+                "task_ms_max": round(mx),
+                "max_over_median": round(ratio, 2),
+                "shuffle_write_bytes": s.get("shuffleWriteBytes", 0),
+                "shuffle_read_bytes": s.get("shuffleReadBytes", 0),
+            }
+            out.append(row)
+            if ratio > worst["ratio"]:
+                worst = {"ratio": round(ratio, 2), "stage": sid}
+        except Exception:
+            continue
+    out.sort(key=lambda r: -r["shuffle_write_bytes"])
+    return {
+        "peak_stage_shuffle_write_bytes": peak_write,
+        "peak_stage_shuffle_read_bytes": peak_read,
+        "worst_task_skew": worst,
+        "top_stages": out[:8],
+    }
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    from ont_d2rq_spark.session import ship_package
+
+    # UI enabled (localhost only) — the REST API is the task-metrics source
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("soak_pipeline")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "56g")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.ui.retainedStages", "2000")
+        .config("spark.local.dir", "/dev/shm/spark-soak-local")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    if not Path(f"{SOAK_DIR}/embeddings.parquet").exists():
+        build_input(spark)
+        print("input built", flush=True)
+    ship_package(spark)
+    app_id = sc.applicationId
+
+    from ont_d2rq_spark.operators.dedup import minhash_dedup
+    from ont_d2rq_spark.operators.similarity import lsh_near_dup_pairs
+    from ont_d2rq_spark.pipeline.docs import build_kg
+
+    results = {"k_inflate": K, "cpus": 32, "jobs": {}}
+
+    def run(name, make_df, path):
+        marker = max(
+            (s["stageId"] for s in rest(f"/applications/{app_id}/stages")), default=-1
+        ) + 1
+        t0 = time.perf_counter()
+        make_df().write.mode("overwrite").parquet(path)
+        wall = time.perf_counter() - t0
+        rows = spark.read.parquet(path).count()
+        m = stage_metrics(app_id, marker)
+        results["jobs"][name] = {"wall_sec": round(wall, 1), "rows": rows, **m}
+        print(f"{name}: {wall:.1f}s {rows} rows "
+              f"skew={m['worst_task_skew']}", flush=True)
+
+    run("pipeline_kg", lambda: build_kg(spark, SOAK_DIR, root=None),
+        f"{OUT_DIR}/kg.parquet")
+    run(
+        "minhash_dedup",
+        lambda: minhash_dedup(
+            spark.read.parquet(f"{SOAK_DIR}/documents.parquet"), threshold=0.5
+        ),
+        f"{OUT_DIR}/minhash.parquet",
+    )
+    run(
+        "lsh_near_dup",
+        lambda: lsh_near_dup_pairs(
+            spark.read.parquet(f"{SOAK_DIR}/embeddings.parquet"),
+            dim=64,
+            threshold=0.4,
+            planes=14,
+            tables=16,
+        ),
+        f"{OUT_DIR}/lsh.parquet",
+    )
+
+    skews = [j["worst_task_skew"].get("ratio", 0) for j in results["jobs"].values()]
+    results["max_task_skew_ratio"] = max(skews)
+    results["pass_no_task_gt_4x_median"] = all(s <= 4.0 for s in skews)
+    out = REPO / "BENCH" / "soak_pipeline.json"
+    out.write_text(json.dumps(results, indent=1))
+    print(json.dumps({k: v for k, v in results.items() if k != "jobs"}))
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
