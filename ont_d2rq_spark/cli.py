@@ -7,6 +7,9 @@
   validate          parse + validate a mapping, print the compiled plan
   sparql            run a SPARQL query over the virtual graph
                     (reference: d2r-query tool)
+  owl               write the mapping's vocabulary as an OWL 2
+                    functional-syntax ontology document
+                    (reference: ont-d2rq D2RQGraphDocumentSource)
 
 Usage:
   python -m ont_d2rq_spark.cli dump-rdf -m mapping.ttl -d /data/sf0.1 -o /out/nt
@@ -60,6 +63,12 @@ def main(argv=None) -> int:
     p_val.add_argument("-m", "--mapping", required=True)
     p_val.add_argument("-d", "--base-dir", default=None)
 
+    p_owl = sub.add_parser("owl", help="vocabulary → OWL functional syntax")
+    p_owl.add_argument("-m", "--mapping", required=True)
+    p_owl.add_argument("-d", "--base-dir", default=None)
+    p_owl.add_argument("-o", "--out", help="output path (default stdout)")
+    p_owl.add_argument("--ontology-iri", default=None)
+
     p_q = sub.add_parser("sparql", help="run a SPARQL query (d2r-query analogue)")
     p_q.add_argument("-m", "--mapping", required=True)
     p_q.add_argument("-d", "--base-dir", required=True)
@@ -79,6 +88,19 @@ def main(argv=None) -> int:
             f"bridges, {len(m.translation_tables)} translation tables, "
             f"{len(m.download_maps)} download maps"
         )
+        return 0
+
+    if args.cmd == "owl":
+        from ont_d2rq_spark.owl import to_functional_syntax
+
+        m = _load_mapping(args.mapping, args.base_dir)
+        doc = to_functional_syntax(m, ontology_iri=args.ontology_iri)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(doc)
+            print(f"ontology → {args.out}")
+        else:
+            sys.stdout.write(doc)
         return 0
 
     from ont_d2rq_spark.session import get_spark, ship_package

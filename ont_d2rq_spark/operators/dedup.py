@@ -81,15 +81,16 @@ def minhash_signatures(
     """→ (id, sig: array<bigint>) — sig[j] = min over shingles of
     hash_j(shingle).
 
-    Two families, SAME plan shape:
-      * 'xxhash64' — k independent seeded JVM hashes (fastest pure-JVM
-        option when only one engine needs to replay them);
-      * 'md5'      — cross-engine replayable AND cheaper per shingle:
-        each distinct shingle is hashed ONCE (md5 → two 60-bit halves
-        reduced mod p), and the k per-seed hashes are the Broder
-        arithmetic permutations g_j = (a_j·h1 + b_j·h2) mod p — ~k×
-        less hashing on the dominant stage, and DuckDB replays the
-        identical integer arithmetic for the driver oracle.
+    Two families, SAME plan shape and SAME Broder construction — each
+    shingle is hashed into two base values (h1, h2) reduced mod
+    p = 2³¹−1, and the k per-seed hashes are the arithmetic
+    permutations g_j = (a_j·h1 + b_j·h2) mod p, ~k× less hashing on
+    the dominant stage than k independent seeded hashes:
+      * 'xxhash64' — two seeded JVM xxhash64 calls per shingle
+        (fastest when only one engine needs to replay);
+      * 'md5'      — one md5 split into two 60-bit halves; DuckDB
+        replays the identical integer arithmetic for the driver
+        oracle.
 
     Shape: explode shingles → k hash columns → groupBy(id).agg(k mins).
     The k mins run with map-side partial aggregation, so the shuffle
@@ -103,23 +104,27 @@ def minhash_signatures(
             F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
         )
     )
+    p = F.lit(MINHASH_PRIME)
     if hash_family == "md5":
-        p = F.lit(MINHASH_PRIME)
         ex = ex.select("id", F.md5("s").alias("m")).select(
             "id",
             (F.conv(F.substring("m", 1, 15), 16, 10).cast("long") % p).alias("h1"),
             (F.conv(F.substring("m", 17, 15), 16, 10).cast("long") % p).alias("h2"),
         )
-        coeffs = minhash_perm_coeffs(num_hashes)
-        mins = [
-            F.min((F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % p).alias(f"h{j}")
-            for j, (a, b) in enumerate(coeffs)
-        ]
     else:
-        mins = [
-            F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"h{j}")
-            for j in range(num_hashes)
-        ]
+        # same Broder construction over two seeded xxhash64 calls —
+        # 2 hashes per shingle instead of k (pmod keeps both halves
+        # non-negative before the permutation arithmetic)
+        ex = ex.select(
+            "id",
+            F.pmod(F.xxhash64(F.col("s"), F.lit(1)), p).alias("h1"),
+            F.pmod(F.xxhash64(F.col("s"), F.lit(2)), p).alias("h2"),
+        )
+    coeffs = minhash_perm_coeffs(num_hashes)
+    mins = [
+        F.min((F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % p).alias(f"h{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
     agg = ex.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
 

@@ -47,9 +47,6 @@ def _bridges(spark, sf_dir, names) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
-_TRIPLE_COLS = "subj, pred, obj, obj_datatype, obj_lang, is_literal"
-
-
 # ---------------------------------------------------------------------------
 # §2 mapping operators (S1/P1/P2/P6, F1–F7, J1/J2, O1/O2, U1/U2)
 # ---------------------------------------------------------------------------

@@ -23,6 +23,14 @@ def test_cli_validate(capsys):
     assert "class maps" in capsys.readouterr().out
 
 
+def test_cli_owl(capsys):
+    path = _mapping_file()
+    assert main(["owl", "-m", path, "-d", SF]) == 0
+    out = capsys.readouterr().out
+    assert "Ontology(<" in out
+    assert "Declaration(Class(<http://example.org/Customer>))" in out
+
+
 def test_cli_sparql(spark, capsys):
     path = _mapping_file()
     rc = main(
