@@ -316,7 +316,11 @@ def optional_join(
     cond = F.lit(True)
     for c, rc in ren.items():
         if c in compat:
-            cond = cond & (F.col(c).isNull() | (F.col(c) == F.col(rc)))
+            # either side unbound → compatible (right can be NULL when
+            # it is a subquery projection with its own OPTIONAL vars)
+            cond = cond & (
+                F.col(c).isNull() | F.col(rc).isNull() | (F.col(c) == F.col(rc))
+            )
         else:
             cond = cond & (F.col(c) == F.col(rc))
     for f in filters:

@@ -357,16 +357,18 @@ def lsh_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    n_candidates = None
     if with_stats:
         # the stats count and the verification join both consume `cand`;
         # without materialization the projection (planes×tables dot
         # products per row) and the banding self-join would run TWICE —
-        # measured 2.7× wall on the sf0.1 bench.  localCheckpoint
-        # (eager) instead of persist(): the blocks are freed by the
-        # ContextCleaner as soon as the caller drops the frame, not
-        # leaked for the session, and the deduped pair list is small
-        # (≪ n², that's the point), so materializing it is cheap.
-        cand = cand.localCheckpoint(eager=True)
+        # measured 2.7× wall on the sf0.1 bench.  Lazy localCheckpoint
+        # + one count = ONE job that both materializes the blocks (the
+        # verification join then reads them) and yields the stats
+        # number; blocks are freed by the ContextCleaner when the
+        # caller drops the frame — no session-lifetime persist leak.
+        cand = cand.localCheckpoint(eager=False)
+        n_candidates = cand.count()
     v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     out = (
         cand.join(v.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
@@ -379,6 +381,5 @@ def lsh_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     if with_stats:
-        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-        out = out.crossJoin(F.broadcast(n_cand))
+        out = out.withColumn("n_candidates", F.lit(n_candidates).cast("long"))
     return out

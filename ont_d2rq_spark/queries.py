@@ -1712,7 +1712,9 @@ def q_streaming_triples(spark, sf_dir):
     stream = spark.readStream.schema(batch_df.schema).parquet(src)
     triples = incremental_triples(spark, m, "customer", stream)
     q = write_stream_parquet(triples, f"{tmp}/out", f"{tmp}/ckpt")
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # don't leave a half-done stream feeding a partial read
+        raise RuntimeError("streaming_triples: availableNow batch did not finish")
     return (
         spark.read.parquet(f"{tmp}/out")
         .filter(F.col("pred") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")

@@ -1218,11 +1218,30 @@ def _execute_query(graph, q: Query) -> DataFrame:
     # subqueries evaluate independently, join on shared variables
     for sub in q.subqueries:
         sdf = _execute_query(graph, sub)
+        # vars the subquery's own OPTIONALs introduced can be NULL in
+        # its projection — they join (and propagate) as maybe-unbound
+        sub_maybe: set = set()
+        if not sub.union:
+            mv = _pattern_vars(sub.patterns)
+            for grp in sub.optional:
+                pats = grp[0] if isinstance(grp, tuple) else grp
+                sub_maybe |= _pattern_vars(pats) - mv
+        sub_maybe &= set(sdf.columns)
         if df is None:
             df = sdf
         else:
             shared = [c for c in df.columns if c in sdf.columns and not _is_companion(c)]
-            df = df.join(sdf, on=shared, how="inner") if shared else df.crossJoin(sdf)
+            if set(shared) & (maybe_unbound | sub_maybe):
+                from ont_d2rq_spark.graph import optional_join
+
+                df = optional_join(
+                    df, sdf, maybe_unbound=maybe_unbound | sub_maybe, how="inner"
+                )
+            elif shared:
+                df = df.join(sdf, on=shared, how="inner")
+            else:
+                df = df.crossJoin(sdf)
+        maybe_unbound |= sub_maybe
 
     # GRAPH groups: evaluate each against its named graph (constant
     # IRI) or the union of all named graphs (?g, bound per graph),

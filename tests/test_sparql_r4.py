@@ -107,6 +107,30 @@ def test_union_unbound_var_in_exists(graph):
     assert df.count() == 30  # 25 nations (bound ?r) + 5 regions (unbound)
 
 
+def test_subquery_optional_var_joins_compatibly(graph):
+    """A subquery projecting a var its own OPTIONAL may leave unbound:
+    the outer join must treat the NULL side as compatible (symmetric
+    compatibility), not drop it with null-rejecting equality."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?r WHERE {{
+          ?n ex:inRegion ?r .
+          {{ SELECT ?n ?r WHERE {{
+               ?n a ex:Nation
+               OPTIONAL {{ ?n ex:inRegion ?r . FILTER(?r = <{EX}region/1>) }}
+          }} }}
+        }}""",
+    )
+    rows = df.collect()
+    # the subquery yields ONE row per nation (5 bound to region/1, 20
+    # unbound); every outer row finds its compatible partner — with
+    # null-rejecting equality the 20 unbound rows would vanish and
+    # only 5 would survive
+    assert len(rows) == 25
+    assert all(r["r"] is not None for r in rows)  # outer binding adopted
+
+
 def test_nested_group_content_raises(graph):
     """Non-filter content inside an OPTIONAL/UNION group must raise —
     flattening it to the outer group would silently change its scope."""
