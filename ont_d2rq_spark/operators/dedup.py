@@ -25,6 +25,26 @@ def normalize_text(col):
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to default parallelism when the source is
+    under-split.  The shingle/token explosion below multiplies each
+    input row into hundreds of CPU-heavy rows, so a poorly-split source
+    (single-row-group parquet, one small file) would serialize the
+    WHOLE operator onto one core no matter the cluster size — the
+    repartition shuffles only the (id, text) projection, which is
+    trivially cheap next to the work it unlocks.  (balanced_read's
+    size-based repair intentionally skips small files because small
+    DIMENSION tables shouldn't shuffle; a dedup corpus is the opposite
+    case: bytes small, per-byte CPU huge.)"""
+    sc = df.sparkSession.sparkContext
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    p = sc.defaultParallelism
+    return df.repartition(p) if n < p else df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """→ (fp, representative, n_dups): groups of byte-identical
     (normalized) documents; representative = min id (deterministic)."""
@@ -99,10 +119,8 @@ def minhash_signatures(
     expressions looks cheaper but Catalyst's projection collapse
     re-inlines the shingle computation k times — measured 40× slower.)"""
     ex = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-        )
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+        .select("id", F.explode(shingles(F.col("t"), shingle_n)).alias("s"))
     )
     p = F.lit(MINHASH_PRIME)
     if hash_family == "md5":
@@ -191,9 +209,9 @@ def minhash_dedup(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_family)
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band, hash_family)
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    sh = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    ).select("id", shingles(F.col("t"), shingle_n).alias("sh"))
     joined = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -216,6 +234,7 @@ def simhash_signatures(
     """64-bit SimHash over word tokens: bit i of the signature is the
     majority vote of bit i across token hashes.  Pure Catalyst:
     per-bit sum of ±1 via aggregate over the token-hash array."""
+    df = spread(df)
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     bit_sum = lambda i: F.aggregate(
@@ -246,8 +265,17 @@ def simhash_signatures_md5(
     keyed on doc id — scale-equivalent to the xxhash64 path."""
     assert bits <= 60
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("w")).select(
-        "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+    ex = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(F.split(normalize_text(F.col("t")), " "))
+            ).alias("w"),
+        )
+        .select(
+            "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+        )
     )
     sums = ex.groupBy("id").agg(
         *[

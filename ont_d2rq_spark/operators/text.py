@@ -178,8 +178,12 @@ def winnow_fingerprints(
     the DuckDB oracle replays it exactly.  Docs shorter than
     k + window − 1 chars produce no fingerprints.
     → (doc_id, fp) one row per distinct fingerprint."""
+    from ont_d2rq_spark.operators.dedup import spread
+
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    base = df.select(F.col(id_col), norm.alias("nt")).filter(
+    # per-char k-gram hashing is CPU-explosive: spread an under-split
+    # source across cores before the transform chain
+    base = spread(df.select(F.col(id_col), norm.alias("nt"))).filter(
         F.length("nt") >= k + window - 1
     )
     hashes = F.expr(
