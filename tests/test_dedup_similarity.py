@@ -73,6 +73,20 @@ def emb(spark):
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
 
 
+def test_spread_repairs_single_partition(spark):
+    """spread(): an under-split source fans out to default parallelism
+    before the CPU-explosive stages; an already-split source is
+    untouched (no gratuitous shuffle)."""
+    one = spark.range(100).coalesce(1).selectExpr(
+        "id as doc_id", "'a b c d e f' as text"
+    )
+    assert one.rdd.getNumPartitions() == 1
+    out = D.spread(one)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism)
+    assert D.spread(wide) is wide
+
+
 def test_embedding_near_dup(emb):
     pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dup(emb, threshold=0.99).collect()}
     assert (1, 5) in pairs
