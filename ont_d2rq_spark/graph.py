@@ -141,62 +141,157 @@ def _norm_dt(dt: Optional[str]) -> Optional[str]:
 _COMPANION_SUFFIXES = ("__dt", "__lang", "__islit")
 
 
+def _triple_frame_single(tdf: DataFrame, s, p, o, swap: bool = False, pred_filter=None):
+    """One (s, p, o) pattern over a triple frame → variable-column frame.
+    ``swap`` evaluates the inverse direction (subject term against obj
+    column and vice versa — used for inverse negated-set members);
+    ``pred_filter`` adds a predicate-column condition (negated sets)."""
+    f = tdf
+    sel: list = []
+    seen: dict = {}
+    s_col, o_col = ("obj", "subj") if swap else ("subj", "obj")
+    if pred_filter is not None:
+        f = f.filter(pred_filter)
+    for term, col in ((s, s_col), (p, "pred"), (o, o_col)):
+        if term is None:
+            continue
+        if _is_var(term):
+            v = _var_name(term)
+            if v in seen:
+                f = f.filter(F.col(col) == F.col(seen[v]))
+                continue
+            seen[v] = col
+            sel.append(F.col(col).alias(v))
+            if col == "obj":
+                sel += [
+                    F.col("obj_datatype").alias(f"{v}__dt"),
+                    F.col("obj_lang").alias(f"{v}__lang"),
+                    F.col("is_literal").alias(f"{v}__islit"),
+                ]
+            else:
+                sel += [
+                    F.lit(None).cast("string").alias(f"{v}__dt"),
+                    F.lit(None).cast("string").alias(f"{v}__lang"),
+                    F.lit(False).alias(f"{v}__islit"),
+                ]
+            continue
+        f = f.filter(F.col(col) == F.lit(str(term)))
+        if col == "obj" and isinstance(term, Lit):
+            f = f.filter(F.col("is_literal"))
+            if term.lang is not None:
+                f = f.filter(
+                    F.lower(F.coalesce(F.col("obj_lang"), F.lit("")))
+                    == term.lang.lower()
+                )
+            if term.datatype is not None:
+                f = f.filter(
+                    F.nullif(
+                        F.col("obj_datatype"), F.lit(_XSD_STRING)
+                    ).eqNullSafe(F.lit(_norm_dt(term.datatype)))
+                )
+    return f.select(*sel) if sel else f.limit(1).select(F.lit(1).alias("_m"))
+
+
+def _triple_frame_closure(tdf: DataFrame, s, pth: "PathPlus", o) -> DataFrame:
+    """`pred+`/`pred*`/`pred?` over a materialized triple frame — same
+    semantics as VirtualGraph._closure_frame, but the edge set and the
+    zero-length node universe come from the frame itself."""
+    from ont_d2rq_spark.operators.closure import transitive_closure
+
+    if isinstance(pth.pred, PathGroup):
+        base = bgp_over_triples(tdf, pth.pred.patterns).select(
+            F.col("__cs").alias("src"), F.col("__co").alias("dst")
+        )
+    else:
+        base = tdf.filter(F.col("pred") == F.lit(str(pth.pred))).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+    mod = getattr(pth, "mod", "+")
+    df = base.distinct() if mod == "?" else transitive_closure(base)
+    if mod in ("*", "?"):
+        bound = next((t for t in (s, o) if t is not None and not _is_var(t)), None)
+        if bound is not None:
+            df = df.unionByName(
+                tdf.sparkSession.createDataFrame(
+                    [(str(bound), str(bound))], "src string, dst string"
+                )
+            ).distinct()
+        else:
+            nodes = (
+                tdf.select(F.col("subj").alias("n"))
+                .unionByName(
+                    tdf.filter(~F.col("is_literal")).select(F.col("obj").alias("n"))
+                )
+                .distinct()
+            )
+            df = df.unionByName(
+                nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+            ).distinct()
+    sel, seen = [], {}
+    for term, col in ((s, "src"), (o, "dst")):
+        if term is not None and _is_var(term):
+            v = _var_name(term)
+            if v in seen:
+                df = df.filter(F.col(col) == F.col(seen[v]))
+            else:
+                seen[v] = col
+                sel.append(F.col(col).alias(v))
+                sel += [
+                    F.lit(None).cast("string").alias(f"{v}__dt"),
+                    F.lit(None).cast("string").alias(f"{v}__lang"),
+                    F.lit(False).alias(f"{v}__islit"),
+                ]
+        elif term is not None:
+            df = df.filter(F.col(col) == F.lit(str(term)))
+    return df.select(*sel) if sel else df.limit(1).select(F.lit(1).alias("_m"))
+
+
 def bgp_over_triples(tdf: DataFrame, patterns) -> DataFrame:
     """Generic BGP evaluation over a materialized triple frame
     (TRIPLE_SCHEMA) — filter per pattern, rename to variable columns
     (with __dt/__lang/__islit companions for objects), join on shared
     variables.  Used for named graphs whose triples are not
     mapping-backed (the vocabulary graph); the data graph keeps the
-    pushdown-compiled VirtualGraph.bgp path."""
+    pushdown-compiled VirtualGraph.bgp path.  Property paths (p+/p*/p?,
+    alternation, path groups) and negated sets evaluate over the frame
+    itself (closure via operators/closure.py)."""
     frames: list[DataFrame] = []
     for s, p, o in patterns:
-        if isinstance(p, (PathPlus, NegatedSet, PathGroup, tuple)):
-            # fail loudly: silently stringifying a path/negated-set term
-            # would compare pred == "NegatedSet(...)" and return empty
-            raise ValueError(
-                "property paths / negated sets not supported over a triple frame"
+        if isinstance(p, PathPlus):
+            frames.append(_triple_frame_closure(tdf, s, p, o))
+            continue
+        if isinstance(p, NegatedSet):
+            parts = []
+            if p.fwd or not p.inv:
+                parts.append(
+                    _triple_frame_single(
+                        tdf, s, None, o, pred_filter=~F.col("pred").isin(*p.fwd)
+                        if p.fwd
+                        else F.lit(True),
+                    )
+                )
+            if p.inv:
+                parts.append(
+                    _triple_frame_single(
+                        tdf, s, None, o, swap=True,
+                        pred_filter=~F.col("pred").isin(*p.inv),
+                    )
+                )
+            out_p = parts[0]
+            for extra in parts[1:]:
+                out_p = out_p.unionByName(extra, allowMissingColumns=True)
+            frames.append(out_p)
+            continue
+        if isinstance(p, tuple):
+            # path alternation (p1|p2): any of the listed predicates
+            frames.append(
+                _triple_frame_single(
+                    tdf, s, None, o,
+                    pred_filter=F.col("pred").isin(*[str(x) for x in p]),
+                )
             )
-        f = tdf
-        sel: list = []
-        seen: dict = {}
-        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
-            if term is None:
-                continue
-            if _is_var(term):
-                v = _var_name(term)
-                if v in seen:
-                    f = f.filter(F.col(col) == F.col(seen[v]))
-                    continue
-                seen[v] = col
-                sel.append(F.col(col).alias(v))
-                if col == "obj":
-                    sel += [
-                        F.col("obj_datatype").alias(f"{v}__dt"),
-                        F.col("obj_lang").alias(f"{v}__lang"),
-                        F.col("is_literal").alias(f"{v}__islit"),
-                    ]
-                else:
-                    sel += [
-                        F.lit(None).cast("string").alias(f"{v}__dt"),
-                        F.lit(None).cast("string").alias(f"{v}__lang"),
-                        F.lit(False).alias(f"{v}__islit"),
-                    ]
-                continue
-            f = f.filter(F.col(col) == F.lit(str(term)))
-            if col == "obj" and isinstance(term, Lit):
-                f = f.filter(F.col("is_literal"))
-                if term.lang is not None:
-                    f = f.filter(
-                        F.lower(F.coalesce(F.col("obj_lang"), F.lit("")))
-                        == term.lang.lower()
-                    )
-                if term.datatype is not None:
-                    f = f.filter(
-                        F.nullif(
-                            F.col("obj_datatype"), F.lit(_XSD_STRING)
-                        ).eqNullSafe(F.lit(_norm_dt(term.datatype)))
-                    )
-        frames.append(f.select(*sel) if sel else f.limit(1).select(F.lit(1).alias("_m")))
+            continue
+        frames.append(_triple_frame_single(tdf, s, p, o))
     out = frames[0]
     for nxt in frames[1:]:
         shared = [

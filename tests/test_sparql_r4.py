@@ -154,14 +154,50 @@ def test_nested_group_content_raises(graph):
         )
 
 
-def test_negated_set_in_graph_raises(graph):
-    """A negated property set inside GRAPH over a triple frame must fail
-    loudly, not silently return empty."""
-    with pytest.raises(Exception, match="not supported over a triple frame"):
-        execute(
-            graph,
-            f"""PREFIX ex: <{EX}>
-            SELECT ?s ?o WHERE {{
-              GRAPH <urn:x-d2rq:graph:vocabulary> {{ ?s !ex:name ?o }}
-            }}""",
-        ).collect()
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+VOCAB = "urn:x-d2rq:graph:vocabulary"
+
+
+def test_negated_set_in_graph(graph):
+    """Negated property sets evaluate over GRAPH triple frames (was a
+    loud unsupported-raise; r4 implements it): !rdfs:label over the
+    vocabulary graph excludes exactly the label triples."""
+    all_q = execute(
+        graph,
+        f"SELECT ?s ?p ?o WHERE {{ GRAPH <{VOCAB}> {{ ?s ?p ?o }} }}",
+    ).collect()
+    labels = [r for r in all_q if r["p"] == RDFS + "label"]
+    got = execute(
+        graph,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?o WHERE {{ GRAPH <{VOCAB}> {{ ?s !rdfs:label ?o }} }}""",
+    ).collect()
+    assert len(got) == len(all_q) - len(labels) > 0
+
+
+def test_path_plus_in_graph(graph):
+    """p+ / p* over a GRAPH triple frame: rdfs:domain+ reaches the
+    domain classes; rdfs:domain* adds the zero-length identities."""
+    plus = execute(
+        graph,
+        f"""PREFIX rdfs: <{RDFS}> PREFIX ex: <{EX}>
+        SELECT ?c WHERE {{ GRAPH <{VOCAB}> {{ <{EX}name> rdfs:domain+ ?c }} }}""",
+    ).collect()
+    assert {r["c"] for r in plus}  # ex:name has domain classes
+    star = execute(
+        graph,
+        f"""PREFIX rdfs: <{RDFS}> PREFIX ex: <{EX}>
+        SELECT ?c WHERE {{ GRAPH <{VOCAB}> {{ <{EX}name> rdfs:domain* ?c }} }}""",
+    ).collect()
+    # star = plus ∪ the zero-length identity (the bound subject itself)
+    assert {r["c"] for r in star} == {r["c"] for r in plus} | {EX + "name"}
+
+
+def test_path_alternation_in_graph(graph):
+    """(p1|p2) alternation over a GRAPH triple frame."""
+    got = execute(
+        graph,
+        f"""PREFIX rdfs: <{RDFS}> PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ GRAPH <{VOCAB}> {{ <{EX}inRegion> rdfs:domain|rdfs:range ?x }} }}""",
+    ).collect()
+    assert {r["x"] for r in got} == {EX + "Nation", EX + "Region"}
