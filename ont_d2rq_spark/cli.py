@@ -46,7 +46,9 @@ def main(argv=None) -> int:
     p_dump.add_argument("-m", "--mapping", required=True)
     p_dump.add_argument("-d", "--base-dir", required=True, help="parquet table dir")
     p_dump.add_argument("-o", "--out", required=True)
-    p_dump.add_argument("--format", choices=["ntriples", "parquet"], default="ntriples")
+    p_dump.add_argument(
+        "--format", choices=["ntriples", "turtle", "parquet"], default="ntriples"
+    )
     p_dump.add_argument("--no-distinct", action="store_true")
     p_dump.add_argument("--master", default=None)
 
@@ -74,7 +76,13 @@ def main(argv=None) -> int:
     p_q.add_argument("-d", "--base-dir", required=True)
     p_q.add_argument("-q", "--query", help="inline query text")
     p_q.add_argument("-f", "--query-file", help="read the query from a file")
-    p_q.add_argument("-o", "--out", help="write full result as parquet instead of printing")
+    p_q.add_argument("-o", "--out", help="write the full result to this path instead of printing")
+    p_q.add_argument(
+        "--format",
+        choices=["parquet", "csv", "json"],
+        default="parquet",
+        help="output format for -o (d2r-query's text/csv/json analogue)",
+    )
     p_q.add_argument("--limit", type=int, default=100, help="max rows printed (stdout mode)")
     p_q.add_argument("--master", default=None)
 
@@ -115,6 +123,8 @@ def main(argv=None) -> int:
         triples = g.triples(fuse=True, distinct=not args.no_distinct)
         if args.format == "ntriples":
             g.dump_nt(args.out, triples)
+        elif args.format == "turtle":
+            g.dump_ttl(args.out, triples)
         else:
             from ont_d2rq_spark.pipeline.docs import materialize_triples
 
@@ -132,7 +142,13 @@ def main(argv=None) -> int:
         g = VirtualGraph(_load_mapping(args.mapping, args.base_dir), spark)
         df = execute(g, qtext)
         if args.out:
-            df.write.mode("overwrite").parquet(args.out)
+            w = df.write.mode("overwrite")
+            if args.format == "csv":
+                w.option("header", "true").csv(args.out)
+            elif args.format == "json":
+                w.json(args.out)
+            else:
+                w.parquet(args.out)
             print(f"result → {args.out}")
         else:
             print("\t".join(df.columns))

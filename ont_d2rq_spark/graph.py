@@ -1092,6 +1092,87 @@ class VirtualGraph:
     def dump_nt(self, path: str, triples: Optional[DataFrame] = None) -> None:
         self.nt_lines(triples).write.mode("overwrite").text(path)
 
+    # ------------------------------------------------------------------
+    # Turtle serialization (dump-rdf --format TURTLE parity)
+    # ------------------------------------------------------------------
+    def _default_prefixes(self) -> dict:
+        return {
+            "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+            "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+            "owl": "http://www.w3.org/2002/07/owl#",
+            "xsd": "http://www.w3.org/2001/XMLSchema#",
+            "ex": self.mapping.base_iri,
+        }
+
+    def _ttl_iri(self, col, prefixes: dict):
+        """IRI column → prefixed name when the namespace matches and the
+        local part is PN_LOCAL-safe (conservative: [A-Za-z0-9_-]+), else
+        the <…> form.  Blank nodes keep their stable _:b labels."""
+        out = F.concat(F.lit("<"), col, F.lit(">"))
+        for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1] or "")):
+            if not ns:
+                continue
+            local = F.substring(col, len(ns) + 1, 1 << 20)
+            out = F.when(
+                col.startswith(ns) & local.rlike("^[A-Za-z0-9_-]+$"),
+                F.concat(F.lit(pfx + ":"), local),
+            ).otherwise(out)
+        return F.when(col.startswith("_:"), self._bnode_label(col)).otherwise(out)
+
+    def ttl_lines(
+        self, triples: Optional[DataFrame] = None, prefixes: Optional[dict] = None
+    ) -> DataFrame:
+        """One Turtle line per SUBJECT: `s p1 o1 ; p2 o2 .` with sorted
+        predicate-object pairs (deterministic) — the distributed shape
+        of a Turtle writer (one groupBy on subj; blocks stream out of
+        the aggregation, never driver-side)."""
+        pfx = prefixes if prefixes is not None else self._default_prefixes()
+        t = triples if triples is not None else self.triples()
+        lit = F.concat(F.lit('"'), self._nt_escape(t.obj), F.lit('"'))
+        lit = F.when(
+            t.obj_lang.isNotNull(), F.concat(lit, F.lit("@"), t.obj_lang)
+        ).otherwise(
+            F.when(
+                t.obj_datatype.isNotNull(),
+                F.concat(lit, F.lit("^^"), self._ttl_iri(t.obj_datatype, pfx)),
+            ).otherwise(lit)
+        )
+        obj = F.when(t.is_literal, lit).otherwise(self._ttl_iri(t.obj, pfx))
+        pred = F.when(
+            t.pred == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", F.lit("a")
+        ).otherwise(self._ttl_iri(t.pred, pfx))
+        po = F.concat(pred, F.lit(" "), obj)
+        return (
+            t.select(self._ttl_iri(t.subj, pfx).alias("s"), po.alias("po"))
+            .groupBy("s")
+            .agg(F.array_sort(F.collect_set("po")).alias("pos"))
+            .select(
+                F.concat(
+                    F.col("s"), F.lit(" "), F.array_join("pos", " ; "), F.lit(" .")
+                ).alias("line")
+            )
+        )
+
+    def dump_ttl(
+        self,
+        path: str,
+        triples: Optional[DataFrame] = None,
+        prefixes: Optional[dict] = None,
+    ) -> None:
+        """Write a Turtle dump: part files of subject blocks plus a
+        `_prefixes.ttl` header that sorts before `part-*`, so
+        `cat dir/*.ttl dir/part-*` (or any lexical concat) yields a
+        valid document.  (Spark data readers skip `_`-prefixed files.)"""
+        import os
+
+        pfx = prefixes if prefixes is not None else self._default_prefixes()
+        self.ttl_lines(triples, pfx).write.mode("overwrite").text(path)
+        header = "".join(
+            f"@prefix {p}: <{ns}> .\n" for p, ns in sorted(pfx.items()) if ns
+        )
+        with open(os.path.join(path, "_prefixes.ttl"), "w") as f:
+            f.write(header)
+
 
 class CachingGraph:
     """Memoizing find() wrapper — the analogue of ont-d2rq's
