@@ -1271,8 +1271,16 @@ def _execute_query(graph, q: Query) -> DataFrame:
             df = gdf
         else:
             shared = [c for c in df.columns if c in gdf.columns and not _is_companion(c)]
-            gdf = gdf.drop(*[c for c in gdf.columns if _is_companion(c) and c in df.columns])
-            df = df.join(gdf, on=shared, how="inner") if shared else df.crossJoin(gdf)
+            if set(shared) & maybe_unbound:
+                from ont_d2rq_spark.graph import optional_join
+
+                df = optional_join(df, gdf, maybe_unbound=maybe_unbound, how="inner")
+                maybe_unbound -= set(shared)  # graph side always binds
+            else:
+                gdf = gdf.drop(
+                    *[c for c in gdf.columns if _is_companion(c) and c in df.columns]
+                )
+                df = df.join(gdf, on=shared, how="inner") if shared else df.crossJoin(gdf)
     if df is None:  # empty group = one empty solution (SPARQL algebra)
         df = graph.spark.range(1).select(F.lit(1).alias("_m"))
         # OPTIONAL over the unit solution (no basic patterns, no UNION):

@@ -106,6 +106,51 @@ def test_bgp_join_order_connectivity_before_bound_count():
     assert bgp_join_order(pats, pv) == [1, 2, 0]
 
 
+def test_bgp_join_order_is_a_permutation():
+    """Property: for random pattern shapes, the order is always a
+    permutation of the indices, deterministic, and never starts a
+    connected component with a cross join when a connected pattern
+    exists."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ont_d2rq_spark.graph import Var, bgp_join_order
+
+    @st.composite
+    def shapes(draw):
+        n = draw(st.integers(1, 7))
+        pats, pv = [], []
+        for i in range(n):
+            vs = draw(st.sets(st.sampled_from("abcdefg"), min_size=1, max_size=3))
+            terms = [Var("?" + v) for v in sorted(vs)]
+            n_bound = draw(st.integers(0, 3 - min(len(terms), 2)))
+            row = (terms + ["iri1", "iri2", "iri3"][:n_bound] + [None, None, None])[:3]
+            pats.append(tuple(row))
+            pv.append(set(vs))
+        return pats, pv
+
+    @settings(max_examples=200, deadline=None)
+    @given(shapes())
+    def check(sp):
+        pats, pv = sp
+        order = bgp_join_order(pats, pv)
+        assert sorted(order) == list(range(len(pats)))
+        assert order == bgp_join_order(pats, pv)  # deterministic
+        # connectivity: once started, prefer connected patterns
+        seen = set()
+        for pos, i in enumerate(order):
+            if pos > 0 and not (seen & pv[i]):
+                # a disconnect is only allowed if NOTHING remaining connects
+                remaining = set(order[pos:])
+                assert not any(seen & pv[j] for j in remaining), (
+                    f"cross-joined {i} while a connected pattern existed: "
+                    f"{order} {pv}"
+                )
+            seen |= pv[i]
+
+    check()
+
+
 def test_bgp_reorder_preserves_results(graph):
     """Join order is a physical choice: the reordered BGP returns the
     same bindings as the written order implies."""
