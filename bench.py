@@ -76,6 +76,10 @@ def main() -> None:
 
     # headline 5: north-star doc pipeline (synth → mentions → link → CC → KG)
     timed("pipeline_kg", lambda: QUERIES["pipeline_kg"](spark, sf_dir).count())
+    # build_kg (uncheckpointed) persists its stage outputs; drop them so
+    # the remaining queries aren't measured under its dead cache blocks
+    # (observed: a later explode-heavy query degraded 3s → 35s)
+    spark.catalog.clearCache()
 
     # headline 6: MinHash-LSH near-dup over documents — both hash
     # families of the SAME pipeline: xxhash64 (fastest JVM path) and
