@@ -418,7 +418,26 @@ def optional_join(
             )
         else:
             cond = cond & (F.col(c) == F.col(rc))
+    # group filters evaluate over the MERGED solution (SPARQL LeftJoin
+    # expr): a compat var reference inside the condition means the
+    # adopted value when the left side is unbound — rewrite bare var
+    # tokens to coalesce(left, right) and companion tokens to the
+    # adopting side's copy.  Sentinels keep the three rewrites from
+    # corrupting each other's emitted text.
+    right_cols = set(right.columns)
     for f in filters:
+        for c in compat:
+            f = re.sub(rf"\b{re.escape(c)}\b", "\x01M\x01", f)  # bare var only
+            for suf in _COMPANION_SUFFIXES:
+                tok = f"{c}{suf}"
+                if f"__lj_{tok}" in right_cols:
+                    f = re.sub(
+                        rf"\b{tok}\b",
+                        f"(CASE WHEN \x01L\x01 IS NULL THEN __lj_{tok} ELSE {tok} END)",
+                        f,
+                    )
+            f = f.replace("\x01M\x01", f"coalesce({c}, __lj_{c})")
+            f = f.replace("\x01L\x01", c)
         cond = cond & F.expr(f)
     out = left.join(right, cond, how)
     # merge compat vars: an unbound left binding adopts the right value
@@ -938,9 +957,15 @@ class VirtualGraph:
         # selectivity-ordered join: most-bound pattern first, then
         # greedily extend with connected patterns (shared variable with
         # the accumulated frame) — see bgp_join_order.  Inner joins
-        # commute, so the result is identical; the ORDER decides the
+        # commute, so the BINDINGS are identical; the ORDER decides the
         # size of intermediates, which AQE can only partially repair
         # after a bad start (URIMakerRule ordering in the reference).
+        # Caveat (pre-existing, order-dependent): joins compare lexical
+        # values only, and _merge keeps the FIRST-joined pattern's
+        # __dt/__lang/__islit companions on collision — if two patterns
+        # bind the same var to the same lexical form with different
+        # literal metadata, the surviving metadata follows join order
+        # (previously written order, now selectivity order).
         pat_vars = []
         for idx in range(len(patterns)):
             if idx in closure_frames:
@@ -1107,9 +1132,14 @@ class VirtualGraph:
     def _ttl_iri(self, col, prefixes: dict):
         """IRI column → prefixed name when the namespace matches and the
         local part is PN_LOCAL-safe (conservative: [A-Za-z0-9_-]+), else
-        the <…> form.  Blank nodes keep their stable _:b labels."""
+        the <…> form.  Blank nodes keep their stable _:b labels.
+
+        Namespaces are applied SHORTEST-FIRST in the when/otherwise
+        chain so the longest match ends OUTERMOST (evaluated first) —
+        with overlapping namespaces (…/voc and …/voc2) the more
+        specific prefix must win or locals mis-attach."""
         out = F.concat(F.lit("<"), col, F.lit(">"))
-        for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1] or "")):
+        for pfx, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1] or "")):
             if not ns:
                 continue
             local = F.substring(col, len(ns) + 1, 1 << 20)

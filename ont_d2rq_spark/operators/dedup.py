@@ -264,7 +264,6 @@ def simhash_signatures_md5(
     → signature assembled from the sign of each bit sum.  One shuffle,
     keyed on doc id — scale-equivalent to the xxhash64 path."""
     assert bits <= 60
-    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     ex = (
         spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
         .select(

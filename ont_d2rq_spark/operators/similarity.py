@@ -370,13 +370,6 @@ def lsh_near_dup_pairs(
         cand = cand.localCheckpoint(eager=False)
         n_candidates = cand.count()
     v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    if with_stats:
-        # the checkpointed candidate frame is a LogicalRDD with no size
-        # stats — Catalyst would default it to "huge" and pick
-        # sort-merge joins; the vector side is the known-small relation,
-        # so hint it broadcast explicitly (same lesson as
-        # rewrite_triples_canonical on iterative outputs)
-        v = F.broadcast(v)
     out = (
         cand.join(v.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
         .join(v.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")

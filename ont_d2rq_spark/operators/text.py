@@ -13,20 +13,29 @@ from pyspark.sql import functions as F
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 
 
-def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _token_stat_cols(text_col: str) -> list:
     toks = F.split(F.col(text_col), " ")
-    return df.select(
-        F.col(id_col),
+    return [
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.length(text_col).cast("bigint").alias("n_chars"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
-    )
+    ]
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + composite score (deterministic,
-    SQL-expressible): length, mean word length, stopword ratio,
-    punctuation ratio, repetition ratio."""
+def fingerprint_expr(col):
+    """md5 of whitespace-normalized lowercase text (cross-engine
+    reproducible, unlike xxhash64 which DuckDB lacks)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), *_token_stat_cols(text_col))
+
+
+def _quality_cols(text_col: str) -> list:
+    """Quality features + composite score as aliased Columns — the ONE
+    place the formula/weights live; quality_score and quality_language
+    both project from it."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks).cast("double")
     stop_hits = F.size(
@@ -47,14 +56,32 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             )
         )
     )
-    return df.select(
-        F.col(id_col),
+    return [
         F.round(stop_hits / n, 6).alias("stopword_ratio"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(punct / F.length(text_col), 6).alias("punct_ratio"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         score.alias("quality"),
-    )
+    ]
+
+
+def _language_cols(text_col: str) -> list:
+    """Language-ID columns (English function-word hit ratio) — shared by
+    language_id and quality_language."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).cast("double")
+    ratio = F.round(hits / F.size(toks), 6)
+    return [
+        ratio.alias("en_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("unk").alias("lang_guess"),
+    ]
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score (deterministic,
+    SQL-expressible): length, mean word length, stopword ratio,
+    punctuation ratio, repetition ratio."""
+    return df.select(F.col(id_col), *_quality_cols(text_col))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -62,14 +89,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (Real models need external data; the heuristic is deterministic and
     exercises the same plan shape: tokenize → dictionary semi-match →
     ratio → classify.)"""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).cast("double")
-    ratio = F.round(hits / F.size(toks), 6)
-    return df.select(
-        F.col(id_col),
-        ratio.alias("en_ratio"),
-        F.when(ratio >= 0.05, "en").otherwise("unk").alias("lang_guess"),
-    )
+    return df.select(F.col(id_col), *_language_cols(text_col))
 
 
 def clean_expr(t):
@@ -87,10 +107,7 @@ def clean_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Content fingerprint: md5 of whitespace-normalized lowercase text
-    (cross-engine reproducible, unlike xxhash64 which DuckDB lacks)."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    return df.select(F.col(id_col), fingerprint_expr(F.col(text_col)).alias("fingerprint"))
 
 
 # GPT-2-style pre-tokenization shape: letter runs / digit runs /
@@ -109,17 +126,13 @@ def text_profile(
     content fingerprint + cleaned text.  ``clean_text_col`` lets the
     redaction run over a different column (e.g. an augmented copy) than
     the stats; defaults to ``text_col``."""
-    toks = F.split(F.col(text_col), " ")
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(
         F.col(id_col),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.length(text_col).cast("bigint").alias("n_chars"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        *_token_stat_cols(text_col),
         F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_RE}', 0)"))
         .cast("bigint")
         .alias("n_bpe_tokens"),
-        F.md5(norm).alias("fingerprint"),
+        fingerprint_expr(F.col(text_col)).alias("fingerprint"),
         clean_expr(F.col(clean_text_col or text_col)).alias("clean_text"),
     )
 
@@ -128,35 +141,10 @@ def quality_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Quality features + language ID in ONE narrow projection (the
     fused form of :func:`quality_score` + :func:`language_id` — the
     corpus-filter stage computes both anyway, so fusing halves the
-    scans at 100 TB)."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks).cast("double")
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).cast("double")
-    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
-    punct = (
-        F.length(text_col) - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
-    ).cast("double")
-    mean_word_len = (F.length(text_col) - (n - 1)) / n
-    score = F.when(n < 5, 0.0).otherwise(
-        F.round(
-            0.4 * F.least(distinct_ratio * 2, F.lit(1.0))
-            + 0.3 * F.least(stop_hits / n * 10, F.lit(1.0))
-            + 0.3 * F.when((mean_word_len >= 3) & (mean_word_len <= 8), 1.0).otherwise(0.3),
-            6,
-        )
-    )
-    ltoks = F.split(F.lower(F.col(text_col)), " ")
-    lhits = F.size(F.filter(ltoks, lambda t: t.isin(EN_STOPWORDS))).cast("double")
-    en_ratio = F.round(lhits / F.size(ltoks), 6)
+    scans at 100 TB).  Projects from the SAME shared expression
+    builders as the unfused operators, so the formulas cannot drift."""
     return df.select(
-        F.col(id_col),
-        F.round(stop_hits / n, 6).alias("stopword_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(punct / F.length(text_col), 6).alias("punct_ratio"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        score.alias("quality"),
-        en_ratio.alias("en_ratio"),
-        F.when(en_ratio >= 0.05, "en").otherwise("unk").alias("lang_guess"),
+        F.col(id_col), *_quality_cols(text_col), *_language_cols(text_col)
     )
 
 

@@ -1706,6 +1706,9 @@ def q_streaming_triples(spark, sf_dir):
 
     m = tpch_mapping(sf_dir)
     batch_df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # the returned DataFrame lazily reads {tmp}/out, so the temp dir
+    # must outlive this call — it is reclaimed with the process's tmp,
+    # not deleted here
     tmp = tempfile.mkdtemp(prefix="d2rq_stream_")
     src = f"{tmp}/src"
     batch_df.write.mode("overwrite").parquet(src)

@@ -81,9 +81,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # straggler mitigation (production default): one externally
-        # stalled task (Python-worker spawn, page-fault storm) gets a
-        # speculative copy instead of holding the stage barrier
+        # straggler mitigation for CLUSTER deployments: one externally
+        # stalled task gets a speculative copy instead of holding the
+        # stage barrier.  NOTE: inert under a local[*] master —
+        # TaskSchedulerImpl starts the speculation thread only when
+        # !isLocal — so local runs carry the setting as deployment
+        # intent, not as an active mitigation.
         .config("spark.speculation", "true")
         .config("spark.speculation.quantile", "0.75")
         .config("spark.speculation.multiplier", "2")

@@ -1143,6 +1143,30 @@ def _pattern_vars(pats) -> set:
     return vs
 
 
+def _query_maybe_unbound(q: Query) -> set:
+    """Variables a query's solutions can leave NULL: bound only by some
+    UNION branches, introduced by OPTIONAL groups, or carrying a VALUES
+    UNDEF cell.  (Static over-approximation from the parse — used to
+    decide which joins need compatibility semantics.)"""
+    out: set = set()
+    if q.union:
+        branch_sets = [
+            _pattern_vars(e[0] if isinstance(e, tuple) else e) for e in q.union
+        ]
+        out |= set.union(*branch_sets) - set.intersection(*branch_sets)
+        bound = set.intersection(*branch_sets) | _pattern_vars(q.patterns)
+    else:
+        bound = _pattern_vars(q.patterns)
+    for grp in q.optional:
+        pats = grp[0] if isinstance(grp, tuple) else grp
+        out |= _pattern_vars(pats) - bound
+    for vars_, rows in q.values_clauses:
+        for i, v in enumerate(vars_):
+            if any(r[i] is None for r in rows):
+                out.add(v)
+    return out
+
+
 def _execute_query(graph, q: Query) -> DataFrame:
     from ont_d2rq_spark.graph import _is_companion
 
@@ -1154,9 +1178,11 @@ def _execute_query(graph, q: Query) -> DataFrame:
     # main-pattern join) give these SPARQL compatibility semantics
     # (unbound matches anything) instead of null-rejecting equality.
     maybe_unbound: set = set()
+    optionals_consumed = not q.optional
     if not q.union:
         df = graph.bgp(q.patterns, optional=q.optional) if q.patterns else None
         if q.patterns:
+            optionals_consumed = True
             main_vars = _pattern_vars(q.patterns)
             for grp in q.optional:
                 pats = grp[0] if isinstance(grp, tuple) else grp
@@ -1214,19 +1240,15 @@ def _execute_query(graph, q: Query) -> DataFrame:
             maybe_unbound |= {
                 c for c in rdf.columns if not _is_companion(c)
             } - shared_bound
+        optionals_consumed = True
 
     # subqueries evaluate independently, join on shared variables
     for sub in q.subqueries:
         sdf = _execute_query(graph, sub)
-        # vars the subquery's own OPTIONALs introduced can be NULL in
-        # its projection — they join (and propagate) as maybe-unbound
-        sub_maybe: set = set()
-        if not sub.union:
-            mv = _pattern_vars(sub.patterns)
-            for grp in sub.optional:
-                pats = grp[0] if isinstance(grp, tuple) else grp
-                sub_maybe |= _pattern_vars(pats) - mv
-        sub_maybe &= set(sdf.columns)
+        # vars the subquery can leave NULL in its projection (its own
+        # OPTIONALs, asymmetric UNION branches, VALUES UNDEF) join —
+        # and propagate — as maybe-unbound
+        sub_maybe = _query_maybe_unbound(sub) & set(sdf.columns)
         if df is None:
             df = sdf
         else:
@@ -1283,13 +1305,22 @@ def _execute_query(graph, q: Query) -> DataFrame:
                 df = df.join(gdf, on=shared, how="inner") if shared else df.crossJoin(gdf)
     if df is None:  # empty group = one empty solution (SPARQL algebra)
         df = graph.spark.range(1).select(F.lit(1).alias("_m"))
-        # OPTIONAL over the unit solution (no basic patterns, no UNION):
-        # left-join each optional group so its bindings surface instead
-        # of being silently dropped
+    if not optionals_consumed:
+        # OPTIONAL groups not yet applied: the solution so far came from
+        # the unit solution, subqueries, or GRAPH groups — left-join each
+        # optional group now, with the same maybe-unbound chaining as the
+        # main path (a later group can adopt an earlier group's var)
         from ont_d2rq_spark.graph import optional_join
 
         for pats, filts in q.optional:
-            df = optional_join(df, graph.bgp(pats), filts)
+            rdf = graph.bgp(pats)
+            shared_bound = {
+                c for c in df.columns if c in rdf.columns and not _is_companion(c)
+            } - maybe_unbound
+            df = optional_join(df, rdf, filts, maybe_unbound=maybe_unbound)
+            maybe_unbound |= {
+                c for c in rdf.columns if not _is_companion(c)
+            } - shared_bound
 
     # VALUES: inline binding tables, broadcast-joined on shared vars.
     # UNDEF cells (None) place no constraint on that variable in that

@@ -154,6 +154,59 @@ def test_nested_group_content_raises(graph):
         )
 
 
+def test_optional_filter_over_adopted_var(graph):
+    """A group-scoped FILTER referencing a maybe-unbound shared var must
+    evaluate over the MERGED binding (the adopted right value), not the
+    left NULL — otherwise adoption is silently defeated."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?r ?rn WHERE {{
+          ?n a ex:Nation .
+          OPTIONAL {{ ?n ex:inRegion ?r . FILTER(?r = <{EX}region/1>) }}
+          OPTIONAL {{ ?r ex:name ?rn . ?r a ex:Region . FILTER(?r != <{EX}region/2>) }}
+        }}""",
+    )
+    rows = df.collect()
+    # 5 region-1 nations keep their ?r (passes the filter); 20 unbound
+    # nations adopt each region EXCEPT region/2 → 4 each
+    assert len(rows) == 5 + 20 * 4
+    assert all(r["r"] != EX + "region/2" for r in rows if r["r"] is not None)
+
+
+def test_subquery_union_unbound_var(graph):
+    """Vars left NULL by a subquery's asymmetric UNION branches must
+    join the outer solution with compatibility semantics."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?r WHERE {{
+          ?n ex:inRegion ?r .
+          {{ SELECT ?n ?r WHERE {{
+               {{ ?n a ex:Nation . ?n ex:inRegion ?r }} UNION {{ ?n a ex:Nation }}
+          }} }}
+        }}""",
+    )
+    # each nation matches its bound branch row AND its unbound one
+    assert df.count() == 50
+
+
+def test_optional_after_subquery_only(graph):
+    """A top-level OPTIONAL whose siblings are only a subquery must not
+    be silently dropped."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?r WHERE {{
+          {{ SELECT ?n WHERE {{ ?n a ex:Nation }} }}
+          OPTIONAL {{ ?n ex:inRegion ?r }}
+        }}""",
+    )
+    rows = df.collect()
+    assert "r" in df.columns
+    assert len(rows) == 25 and all(r["r"] is not None for r in rows)
+
+
 RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 VOCAB = "urn:x-d2rq:graph:vocabulary"
 

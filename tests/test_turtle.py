@@ -60,6 +60,26 @@ def test_dump_ttl_concat_is_valid_document(graph, tmp_path):
     assert n_pairs == graph.triples(distinct=True).count()
 
 
+def test_ttl_overlapping_prefixes_longest_wins(graph, spark):
+    """With overlapping namespaces the LONGEST matching namespace must
+    own the local part — shortest-first would serialize …/voc2/x as
+    v:2x (wrong prefix attachment)."""
+    t = spark.createDataFrame(
+        [
+            ("http://ex.org/voc2/x", "http://ex.org/voc/p", "http://ex.org/voc2/y",
+             None, None, False),
+        ],
+        "subj string, pred string, obj string, obj_datatype string, obj_lang string, is_literal boolean",
+    )
+    lines = [
+        r["line"]
+        for r in graph.ttl_lines(
+            t, prefixes={"v": "http://ex.org/voc/", "v2": "http://ex.org/voc2/"}
+        ).collect()
+    ]
+    assert lines == ["v2:x v:p v2:y ."]
+
+
 def test_cli_dump_turtle(tmp_path, capsys):
     import tempfile
 

@@ -166,11 +166,12 @@ def main():
         .config("spark.driver.memory", "56g")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
-        # straggler mitigation, exactly as a 100 TB cluster would run:
-        # a single task stalled on an external hiccup (Python-worker
-        # spawn, page-fault storm) gets a speculative copy; the winner
-        # counts.  Observed without it: one 14.5 s task against a
-        # 291 ms median on a 128-task scan stage.
+        # straggler mitigation as a 100 TB cluster would run it.  NOTE:
+        # inert under local[*] (TaskSchedulerImpl gates the speculation
+        # thread on !isLocal), so on this box it documents deployment
+        # intent only; the local-run defenses against the observed
+        # one-off straggler (one 14.5 s task vs a 291 ms median) are
+        # the un-timed warm-up and the per-job cache hygiene below.
         .config("spark.speculation", "true")
         .config("spark.speculation.quantile", "0.75")
         .config("spark.speculation.multiplier", "2")
