@@ -349,6 +349,26 @@ def bgp_join_order(patterns, pat_vars, closure_idxs=frozenset()) -> list:
 
 _COMP_TOKEN = re.compile(r"\b\w+?__(?:dt|lang|islit)\b")
 
+_STR_CONST = re.compile(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+
+
+def _mask_strings(text: str) -> tuple[str, list[str]]:
+    """Replace quoted SQL string constants with \\x00N\\x00 placeholders
+    so textual token rewrites can never corrupt a literal's content
+    (same discipline as sparql._rewrite_builtins: a variable named
+    `label` must not be rewritten inside `'see label'`)."""
+    parts: list[str] = []
+
+    def repl(m):
+        parts.append(m.group(0))
+        return f"\x00{len(parts) - 1}\x00"
+
+    return _STR_CONST.sub(repl, text), parts
+
+
+def _unmask_strings(text: str, parts: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: parts[int(m.group(1))], text)
+
 
 def optional_join(
     left: DataFrame,
@@ -388,8 +408,10 @@ def optional_join(
         ]
     )
     # companions referenced by a filter but produced by neither side
-    # default to NULL / false (untyped binding)
-    for tok in {t for f in filters for t in _COMP_TOKEN.findall(f)}:
+    # default to NULL / false (untyped binding); scan with string
+    # constants masked so a literal like 'x__dt' is never mistaken
+    # for a companion reference
+    for tok in {t for f in filters for t in _COMP_TOKEN.findall(_mask_strings(f)[0])}:
         if tok not in left.columns and tok not in right.columns:
             right = right.withColumn(
                 tok,
@@ -426,6 +448,10 @@ def optional_join(
     # corrupting each other's emitted text.
     right_cols = set(right.columns)
     for f in filters:
+        # string constants are masked first: the \b-token rewrites must
+        # never touch a variable name occurring INSIDE a quoted literal
+        # (FILTER(?note = "see label") with compat var `label`)
+        f, _strs = _mask_strings(f)
         for c in compat:
             f = re.sub(rf"\b{re.escape(c)}\b", "\x01M\x01", f)  # bare var only
             for suf in _COMPANION_SUFFIXES:
@@ -438,7 +464,7 @@ def optional_join(
                     )
             f = f.replace("\x01M\x01", f"coalesce({c}, __lj_{c})")
             f = f.replace("\x01L\x01", c)
-        cond = cond & F.expr(f)
+        cond = cond & F.expr(_unmask_strings(f, _strs))
     out = left.join(right, cond, how)
     # merge compat vars: an unbound left binding adopts the right value
     # (and its typed-literal companions)
@@ -1131,8 +1157,10 @@ class VirtualGraph:
 
     def _ttl_iri(self, col, prefixes: dict):
         """IRI column → prefixed name when the namespace matches and the
-        local part is PN_LOCAL-safe (conservative: [A-Za-z0-9_-]+), else
-        the <…> form.  Blank nodes keep their stable _:b labels.
+        local part is PN_LOCAL-safe (conservative: leading char must be
+        a letter/digit/underscore — Turtle PN_LOCAL may not START with
+        '-'), else the <…> form.  Blank nodes keep their stable _:b
+        labels.
 
         Namespaces are applied SHORTEST-FIRST in the when/otherwise
         chain so the longest match ends OUTERMOST (evaluated first) —
@@ -1144,7 +1172,7 @@ class VirtualGraph:
                 continue
             local = F.substring(col, len(ns) + 1, 1 << 20)
             out = F.when(
-                col.startswith(ns) & local.rlike("^[A-Za-z0-9_-]+$"),
+                col.startswith(ns) & local.rlike("^[A-Za-z0-9_][A-Za-z0-9_-]*$"),
                 F.concat(F.lit(pfx + ":"), local),
             ).otherwise(out)
         return F.when(col.startswith("_:"), self._bnode_label(col)).otherwise(out)

@@ -1164,6 +1164,12 @@ def _query_maybe_unbound(q: Query) -> set:
         for i, v in enumerate(vars_):
             if any(r[i] is None for r in rows):
                 out.add(v)
+    # a nested subquery can leave its own projected vars unbound (its
+    # OPTIONAL/UNION/UNDEF), and those propagate through THIS query's
+    # solutions — recurse, restricted to what the subquery projects
+    for s in q.subqueries:
+        sm = _query_maybe_unbound(s)
+        out |= (sm & set(s.variables)) if s.variables else sm
     return out
 
 
