@@ -294,11 +294,7 @@ def bgp_over_triples(tdf: DataFrame, patterns) -> DataFrame:
         frames.append(_triple_frame_single(tdf, s, p, o))
     out = frames[0]
     for nxt in frames[1:]:
-        shared = [
-            c for c in out.columns if c in nxt.columns and not _is_companion(c)
-        ]
-        nxt = nxt.drop(*[c for c in nxt.columns if _is_companion(c) and c in out.columns])
-        out = out.join(nxt, on=shared, how="inner") if shared else out.crossJoin(nxt)
+        out = rdf_term_join(out, nxt, "inner")
     return out
 
 
@@ -307,6 +303,74 @@ def _is_companion(col: str) -> bool:
     each variable (v__dt / v__lang / v__islit) so FILTER builtins
     (lang(), datatype()) have something to evaluate against."""
     return col.endswith(_COMPANION_SUFFIXES)
+
+
+def _term_key(v: str, prefix: str = ""):
+    """Canonical RDF-term metadata key for a shared-variable join: one
+    deterministic string per binding folding (islit, datatype, lang) —
+    '@' marks a language-tagged literal (its RDF 1.1 datatype is
+    rdf:langString regardless of __dt), xsd:string folds to '' (simple
+    literal ≡ xsd:string), lang tags compare case-insensitively.
+    Derived from one side's columns only, so Catalyst still extracts an
+    equi-join key (hash/SMJ, never a nested loop)."""
+    dt = F.col(f"{prefix}{v}__dt")
+    lang = F.col(f"{prefix}{v}__lang")
+    islit = F.coalesce(F.col(f"{prefix}{v}__islit"), F.lit(False))
+    dt_key = (
+        F.when(lang.isNotNull(), F.lit("@"))
+        .when(dt.isNotNull() & (dt != F.lit(_XSD_STRING)), dt)
+        .otherwise(F.lit(""))
+    )
+    return F.concat_ws(
+        "\x00", islit.cast("string"), dt_key, F.lower(F.coalesce(lang, F.lit("")))
+    )
+
+
+def rdf_term_join(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+    """Join two binding frames on their shared variables at RDF-TERM
+    level: lexical equality plus — where BOTH sides carry the full
+    companion set for a var — canonical (islit, datatype, lang)
+    equality, so "42"^^xsd:string never joins "42"^^xsd:integer and a
+    URI never joins a same-lexical literal.  With matching metadata
+    enforced in the join condition, keeping the LEFT side's companions
+    on collision is exact (no more join-order dependence).  Vars whose
+    companions exist on only one side (BIND-created, projection-
+    stripped) fall back to lexical equality for that var."""
+    shared = [c for c in left.columns if c in right.columns and not _is_companion(c)]
+    meta_vars = [
+        v
+        for v in shared
+        if all(f"{v}{s}" in left.columns for s in _COMPANION_SUFFIXES)
+        and all(f"{v}{s}" in right.columns for s in _COMPANION_SUFFIXES)
+    ]
+    if not meta_vars:
+        right = right.drop(
+            *[c for c in right.columns if _is_companion(c) and c in left.columns]
+        )
+        if shared:
+            return left.join(right, on=shared, how=how)
+        if how == "left":
+            return left.join(right, F.lit(True), "left")
+        return left.crossJoin(right)
+    ren: dict[str, str] = {v: f"__vj_{v}" for v in shared}
+    for v in meta_vars:
+        for s in _COMPANION_SUFFIXES:
+            ren[f"{v}{s}"] = f"__vj_{v}{s}"
+    drop_dup = [
+        c
+        for c in right.columns
+        if _is_companion(c) and c in left.columns and c not in ren
+    ]
+    right = right.drop(*drop_dup)
+    for old, new in ren.items():
+        right = right.withColumnRenamed(old, new)
+    cond = F.lit(True)
+    for v in shared:
+        cond = cond & (F.col(v) == F.col(f"__vj_{v}"))
+    for v in meta_vars:
+        cond = cond & (_term_key(v) == _term_key(v, "__vj_"))
+    out = left.join(right, cond, how)
+    return out.drop(*[c for c in out.columns if c.startswith("__vj_")])
 
 
 def bgp_join_order(patterns, pat_vars, closure_idxs=frozenset()) -> list:
@@ -370,12 +434,73 @@ def _unmask_strings(text: str, parts: list[str]) -> str:
     return re.sub(r"\x00(\d+)\x00", lambda m: parts[int(m.group(1))], text)
 
 
+def _masked_compat_join(
+    left: DataFrame,
+    right: DataFrame,
+    shared: list,
+    compat: list,
+    filters,
+    how: str,
+) -> DataFrame:
+    """Hash-joinable decomposition of the SPARQL compatibility join
+    (see optional_join): the RIGHT side is known to always bind the
+    compat vars, so left rows partition disjointly by which compat
+    vars they leave NULL.  Each slice joins with plain equality on the
+    vars it binds (no condition at all on its NULL vars — unbound is
+    compatible with every binding) and adopts the right side's values
+    for them; the union of slices is exactly the isNull-or-equal
+    non-equi join, without ever forcing Catalyst into a
+    BroadcastNestedLoopJoin over the full input.  ``right`` arrives
+    with its shared columns (and compat companions) already renamed to
+    __lj_*."""
+    from itertools import combinations
+
+    right_cols = set(right.columns)
+    outs: list[DataFrame] = []
+    for k in range(len(compat) + 1):
+        for null_vars in combinations(compat, k):
+            m = set(null_vars)
+            sl = left
+            for c in compat:
+                sl = sl.filter(F.col(c).isNull() if c in m else F.col(c).isNotNull())
+            cond = F.lit(True)
+            for c in shared:
+                if c not in m:
+                    cond = cond & (F.col(c) == F.col("__lj_" + c))
+            for f in filters:
+                # per-slice the merged binding is KNOWN: a NULL compat
+                # var adopts the right value, a bound one keeps the
+                # left — rewrite tokens exactly (strings masked first)
+                f, _strs = _mask_strings(f)
+                for c in compat:
+                    f = re.sub(rf"\b{re.escape(c)}\b", "\x01M\x01", f)
+                    if c in m:
+                        for suf in _COMPANION_SUFFIXES:
+                            tok = f"{c}{suf}"
+                            if f"__lj_{tok}" in right_cols:
+                                f = re.sub(rf"\b{tok}\b", f"__lj_{tok}", f)
+                    f = f.replace("\x01M\x01", f"__lj_{c}" if c in m else c)
+                cond = cond & F.expr(_unmask_strings(f, _strs))
+            out = sl.join(right, cond, how)
+            for c in m:
+                # the whole slice has left-c NULL: adopt the right value
+                # and its typed-literal companions
+                out = out.withColumn(c, F.col("__lj_" + c))
+                for suf in _COMPANION_SUFFIXES:
+                    rc = f"__lj_{c}{suf}"
+                    if rc in out.columns:
+                        out = out.withColumn(f"{c}{suf}", F.col(rc))
+            outs.append(out.drop(*[c for c in out.columns if c.startswith("__lj_")]))
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def optional_join(
     left: DataFrame,
     right: DataFrame,
     filters=(),
     maybe_unbound=frozenset(),
     how: str = "left",
+    right_maybe=frozenset(),
 ) -> DataFrame:
     """SPARQL LeftJoin(Ω1, Ω2, expr): a right solution joins a left one
     when they are compatible on the shared variables AND every filter
@@ -386,20 +511,32 @@ def optional_join(
     filter un-binds the optional part instead of dropping the row
     (the classic leftjoin-vs-filter distinction).
 
-    ``maybe_unbound`` names left-side variables that can be NULL
-    (introduced by an earlier OPTIONAL / UNION branch / VALUES UNDEF).
-    For those, SPARQL compatibility treats unbound-vs-bound as
-    compatible — the condition becomes isNull-or-equal and the merged
-    binding coalesces — while fully-bound shared vars keep the plain
-    (hash-joinable) equality.  Callers track the set so the common
-    all-bound case never pays the non-equi-join price.
+    ``maybe_unbound`` names LEFT-side variables that can be NULL
+    (introduced by an earlier OPTIONAL / UNION branch / VALUES UNDEF);
+    ``right_maybe`` names RIGHT-side variables that can be NULL (a
+    subquery or nested group projecting its own optional vars).  For
+    those, SPARQL compatibility treats unbound-vs-bound as compatible,
+    while fully-bound shared vars keep the plain (hash-joinable)
+    equality.  Callers track both sets so the common all-bound case
+    never pays any compatibility price.
+
+    When the nullable side is ONLY the left (the dominant case — the
+    right side of an OPTIONAL is a BGP that always binds its vars),
+    the join is DECOMPOSED into hash-joinable slices instead of a
+    non-equi isNull-or-equal condition: left rows partition by which
+    compat vars are actually NULL (2^k disjoint slices, k ≤ 3), each
+    slice joins with plain equality on its bound vars, and the union
+    of slices is exactly the compatibility join — at scale everything
+    stays hash-partitioned and only the all-shared-null slice (usually
+    tiny) can pay a cross join.  Right-nullable compat vars (or > 3 of
+    them) take the symmetric isNull-or-equal fallback.
 
     With no filters and no maybe-unbound shared vars this degrades to
     the plain shared-variable left join (constant-true condition when
     the domains are disjoint, which preserves left rows against an
     empty right side)."""
     shared = [c for c in left.columns if c in right.columns and not _is_companion(c)]
-    compat = [c for c in shared if c in maybe_unbound]
+    compat = [c for c in shared if c in maybe_unbound or c in right_maybe]
     right = right.drop(
         *[
             c
@@ -430,6 +567,9 @@ def optional_join(
             right = right.withColumnRenamed(c, ren[c])
         elif base in compat:
             right = right.withColumnRenamed(c, "__lj_" + c)
+    left_only = [c for c in compat if c not in right_maybe]
+    if compat and len(compat) <= 3 and left_only == compat:
+        return _masked_compat_join(left, right, shared, compat, filters, how)
     cond = F.lit(True)
     for c, rc in ren.items():
         if c in compat:
@@ -986,12 +1126,10 @@ class VirtualGraph:
         # commute, so the BINDINGS are identical; the ORDER decides the
         # size of intermediates, which AQE can only partially repair
         # after a bad start (URIMakerRule ordering in the reference).
-        # Caveat (pre-existing, order-dependent): joins compare lexical
-        # values only, and _merge keeps the FIRST-joined pattern's
-        # __dt/__lang/__islit companions on collision — if two patterns
-        # bind the same var to the same lexical form with different
-        # literal metadata, the surviving metadata follows join order
-        # (previously written order, now selectivity order).
+        # Joins compare at RDF-TERM level (rdf_term_join): lexical value
+        # PLUS canonical literal metadata where both sides carry
+        # companions — so which pattern joins first no longer decides
+        # which metadata survives (the r4 order-dependence is closed).
         pat_vars = []
         for idx in range(len(patterns)):
             if idx in closure_frames:
@@ -1007,28 +1145,9 @@ class VirtualGraph:
         order = bgp_join_order(patterns, pat_vars, set(closure_frames))
         frames = [frames[i] for i in order]
 
-        def _merge(left, right, how):
-            # join on the VARIABLE columns only; companion columns are
-            # metadata (NULL-heavy — null keys would drop rows).  The
-            # left occurrence of a companion wins on collision.
-            shared = [
-                c for c in left.columns if c in right.columns and not _is_companion(c)
-            ]
-            dup = [c for c in right.columns if _is_companion(c) and c in left.columns]
-            right = right.drop(*dup)
-            if shared:
-                return left.join(right, on=shared, how=how)
-            if how == "left":
-                # OPTIONAL with disjoint domains: SPARQL leftjoin must
-                # preserve left solutions unbound when the right side is
-                # empty — a cross join would drop them.  A true-condition
-                # left join (BroadcastNestedLoopJoin) keeps them.
-                return left.join(right, F.lit(True), "left")
-            return left.crossJoin(right)
-
         out = frames[0]
         for nxt in frames[1:]:
-            out = _merge(out, nxt, "inner")
+            out = rdf_term_join(out, nxt, "inner")
         for name, excl in neg_filters:
             out = out.filter(~F.col(name).isin(*excl)).drop(
                 name, *[name + sfx for sfx in _COMPANION_SUFFIXES]

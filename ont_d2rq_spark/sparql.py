@@ -1262,8 +1262,16 @@ def _execute_query(graph, q: Query) -> DataFrame:
             if set(shared) & (maybe_unbound | sub_maybe):
                 from ont_d2rq_spark.graph import optional_join
 
+                # left-nullable vars via maybe_unbound, right-nullable
+                # (the subquery's own optional vars) via right_maybe —
+                # the split lets optional_join decompose the
+                # left-nullable-only case into hash-joinable slices
                 df = optional_join(
-                    df, sdf, maybe_unbound=maybe_unbound | sub_maybe, how="inner"
+                    df,
+                    sdf,
+                    maybe_unbound=maybe_unbound,
+                    right_maybe=sub_maybe,
+                    how="inner",
                 )
             elif shared:
                 df = df.join(sdf, on=shared, how="inner")

@@ -115,3 +115,140 @@ def test_ttl_local_leading_dash_falls_back_to_iri_form(graph, spark):
     assert f"<{EX}-bad>" in joined
     # interior '-' is fine and still compacts
     assert "ex:ok-1" in joined
+
+
+# ---------------------------------------------------------------------------
+# RDF-term-level BGP joins (value-join on literal companions)
+# ---------------------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _tframe(spark, rows):
+    from ont_d2rq_spark.compiler.relation import TRIPLE_SCHEMA
+
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def test_bgp_join_is_term_level_not_lexical(spark):
+    """Two patterns binding the same var to the same LEXICAL form with
+    different datatypes must NOT join ("42"^^xsd:string is a different
+    RDF term than "42"^^xsd:integer); equal datatypes still join."""
+    from ont_d2rq_spark.graph import bgp_over_triples
+
+    t = _tframe(
+        spark,
+        [
+            (EX + "a", EX + "p", "42", XSD + "string", None, True),
+            (EX + "b", EX + "q", "42", XSD + "integer", None, True),
+            (EX + "c", EX + "p", "7", XSD + "integer", None, True),
+            (EX + "d", EX + "q", "7", XSD + "integer", None, True),
+        ],
+    )
+    out = bgp_over_triples(t, [("?s", EX + "p", "?x"), ("?t", EX + "q", "?x")]).collect()
+    assert {(r["s"], r["t"]) for r in out} == {(EX + "c", EX + "d")}
+
+
+def test_bgp_join_simple_literal_equals_xsd_string(spark):
+    """RDF 1.1: a simple literal IS xsd:string — the two spellings must
+    join; lang tags compare case-insensitively; a URI never joins a
+    same-lexical literal."""
+    from ont_d2rq_spark.graph import bgp_over_triples
+
+    t = _tframe(
+        spark,
+        [
+            (EX + "a", EX + "p", "x", None, None, True),           # simple literal
+            (EX + "b", EX + "q", "x", XSD + "string", None, True), # xsd:string
+            (EX + "c", EX + "p", "hi", None, "EN", True),
+            (EX + "d", EX + "q", "hi", None, "en", True),
+            (EX + "e", EX + "p", EX + "u", None, None, False),     # URI object
+            (EX + "f", EX + "q", EX + "u", None, None, True),      # literal, same lexical
+        ],
+    )
+    out = bgp_over_triples(t, [("?s", EX + "p", "?x"), ("?t", EX + "q", "?x")]).collect()
+    got = {(r["s"], r["t"]) for r in out}
+    assert (EX + "a", EX + "b") in got       # simple ≡ xsd:string
+    assert (EX + "c", EX + "d") in got       # lang case-insensitive
+    assert not any(s == EX + "e" for s, _ in got)  # URI ≠ literal
+
+
+def test_term_join_stays_hash_joinable(spark):
+    """The canonical metadata keys are deterministic per-side
+    expressions, so Catalyst must still plan a hash/sort-merge join —
+    not a nested loop."""
+    from ont_d2rq_spark.graph import bgp_over_triples
+
+    t = _tframe(spark, [(EX + "a", EX + "p", "1", None, None, True)])
+    plan = bgp_over_triples(
+        t, [("?s", EX + "p", "?x"), ("?t", EX + "q", "?x")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hash-joinable decomposition of the compatibility join
+# ---------------------------------------------------------------------------
+
+
+def test_compat_join_decomposed_results(spark):
+    """Left rows partitioned by NULL-mask: bound rows join on equality,
+    NULL rows adopt the right binding; unmatched rows survive unbound."""
+    left = spark.createDataFrame(
+        [("a", "r1"), ("b", None), ("d", None)], "n string, r string"
+    )
+    right = spark.createDataFrame(
+        [("a", "r1", "x1"), ("a", "r2", "x2"), ("b", "r3", "x3"), ("c", "r4", "x4")],
+        "n string, r string, x string",
+    )
+    out = optional_join(left, right, maybe_unbound={"r"}).collect()
+    got = {(r["n"], r["r"], r["x"]) for r in out}
+    assert got == {("a", "r1", "x1"), ("b", "r3", "x3"), ("d", None, None)}
+
+
+def test_compat_join_decomposed_group_filter(spark):
+    """A failing group filter un-binds the optional part (LeftJoin
+    semantics) in every slice of the decomposition."""
+    left = spark.createDataFrame([("a", "r1"), ("b", None)], "n string, r string")
+    right = spark.createDataFrame(
+        [("a", "r1", "x1"), ("b", "r3", "x3")], "n string, r string, x string"
+    )
+    out = optional_join(
+        left, right, filters=["x != 'x3'"], maybe_unbound={"r"}
+    ).collect()
+    got = {(r["n"], r["r"], r["x"]) for r in out}
+    # b's only candidate fails the filter → optional part unbound
+    assert got == {("a", "r1", "x1"), ("b", None, None)}
+
+
+def test_compat_join_decomposition_is_hash_joinable(spark):
+    """With another always-bound shared var present, NO slice needs a
+    nested-loop join — the r4 plan had one BroadcastNestedLoopJoin over
+    the full input for the same query shape."""
+    left = spark.createDataFrame([("a", "r1"), ("b", None)], "n string, r string")
+    right = spark.createDataFrame(
+        [("a", "r1", "x1"), ("b", "r3", "x3")], "n string, r string, x string"
+    )
+    plan = (
+        optional_join(left, right, maybe_unbound={"r"})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compat_join_right_nullable_falls_back_symmetric(spark):
+    """A right side that can itself leave the var NULL (subquery with
+    its own OPTIONAL) keeps the symmetric isNull-or-equal semantics."""
+    left = spark.createDataFrame([("a", "r1"), ("b", None)], "n string, r string")
+    right = spark.createDataFrame(
+        [("a", None, "x1"), ("b", "r3", "x3")], "n string, r string, x string"
+    )
+    out = optional_join(
+        left, right, maybe_unbound={"r"}, right_maybe={"r"}, how="inner"
+    ).collect()
+    got = {(r["n"], r["r"], r["x"]) for r in out}
+    # a: left r1 vs right NULL → compatible, keeps r1; b: adopts r3
+    assert got == {("a", "r1", "x1"), ("b", "r3", "x3")}
