@@ -1354,31 +1354,39 @@ class VirtualGraph:
 class CachingGraph:
     """Memoizing find() wrapper — the analogue of ont-d2rq's
     jena/CachingGraph.java: repeated find(s,p,o) patterns return the
-    persisted result instead of re-planning and re-scanning.  FIFO
-    eviction at ``max_entries`` (the reference uses a size budget);
-    evicted entries are unpersisted."""
+    persisted result (MEMORY_AND_DISK) instead of re-planning and
+    re-scanning; the second call's physical plan reads an
+    InMemoryRelation.  LRU eviction at ``max_entries`` (the reference
+    uses a size budget; an entry count bounds executor memory the same
+    way since each entry is one persisted frame) — evicted entries are
+    unpersisted so cached blocks never outlive the budget.  Typed
+    lookups (o_datatype / o_lang) key separately: find(o='42') and
+    find(o='42', o_datatype=xsd:integer) are different patterns."""
 
     def __init__(self, graph: VirtualGraph, max_entries: int = 128):
         self.graph = graph
         self.max_entries = max_entries
-        self._cache: dict[tuple, DataFrame] = {}
-        self._order: list[tuple] = []
+        self._cache: "dict[tuple, DataFrame]" = {}
         self.hits = 0
         self.misses = 0
 
-    def find(self, s=None, p=None, o=None) -> DataFrame:
+    def find(self, s=None, p=None, o=None, o_datatype=None, o_lang=None) -> DataFrame:
         from pyspark import StorageLevel
 
-        key = (s, p, o)
-        if key in self._cache:
+        key = (s, p, o, o_datatype, o_lang)
+        hit = self._cache.pop(key, None)
+        if hit is not None:
             self.hits += 1
-            return self._cache[key]
+            self._cache[key] = hit  # re-insert = most-recently-used
+            return hit
         self.misses += 1
-        df = self.graph.find(s, p, o).persist(StorageLevel.MEMORY_AND_DISK)
+        df = self.graph.find(s, p, o, o_datatype, o_lang).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         self._cache[key] = df
-        self._order.append(key)
-        if len(self._order) > self.max_entries:
-            old = self._order.pop(0)
+        if len(self._cache) > self.max_entries:
+            # dicts iterate in insertion order → first key is the LRU
+            old = next(iter(self._cache))
             self._cache.pop(old).unpersist()
         return df
 
@@ -1386,7 +1394,6 @@ class CachingGraph:
         for df in self._cache.values():
             df.unpersist()
         self._cache.clear()
-        self._order.clear()
 
     def __getattr__(self, name):
         return getattr(self.graph, name)

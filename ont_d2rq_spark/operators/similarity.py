@@ -314,6 +314,15 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# Verification-join broadcast guard (lsh_near_dup_pairs): estimated
+# bytes per candidate id-pair row, and the cap under which the
+# exact-counted candidate frame may be broadcast.  Kept well below
+# typical spark.sql.autoBroadcastJoinThreshold / driver memory so the
+# hint can never out-size what Spark itself would accept.
+CAND_ROW_BYTES = 128
+CAND_BROADCAST_CAP = 8 << 20  # 8 MiB
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     dim: int,
@@ -370,8 +379,23 @@ def lsh_near_dup_pairs(
         cand = cand.localCheckpoint(eager=False)
         n_candidates = cand.count()
     v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    cjoin = cand
+    if n_candidates is not None and (
+        n_candidates * CAND_ROW_BYTES <= CAND_BROADCAST_CAP
+    ):
+        # The checkpointed candidate frame is a LogicalRDD with NO
+        # stats (defaultSizeInBytes = huge), so Catalyst falls back to
+        # a sort-merge join for the verification step.  The stats path
+        # already paid for the EXACT row count — use it as the
+        # broadcast decision, cap-guarded: id-pair rows are ~2 short
+        # strings (~128 B estimated), broadcast only while the
+        # estimate fits well under the broadcast limit.  At 100×
+        # corpus scale the candidate set blows past the cap and the
+        # join stays hash-partitioned — never force-broadcast an
+        # unbounded side.
+        cjoin = F.broadcast(cand)
     out = (
-        cand.join(v.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        cjoin.join(v.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
         .join(v.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
         .select(
             "id_a",

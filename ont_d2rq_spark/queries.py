@@ -1025,6 +1025,43 @@ WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
 """
 
 
+def q_sparql_nested_optional(spark, sf_dir):
+    """Nested group graph patterns (r5, the ARQ-OpExecutor parity item):
+    OPTIONAL inside OPTIONAL with per-level filters — the Wikidata
+    label-service shape.  The OUTER group's filter is the LeftJoin
+    condition (failing it un-binds the whole group, nested part
+    included); the INNER group's filter un-binds only the inner
+    binding.  Evaluated via the recursive _eval_where with
+    maybe_unbound chaining; both compatibility joins take the
+    hash-joinable null-mask decomposition (graph._masked_compat_join)."""
+    from ont_d2rq_spark.sparql import execute
+
+    g = _graph(spark, sf_dir)
+    return execute(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?name ?r ?rname WHERE {
+            ?n a ex:Nation . ?n ex:name ?name .
+            OPTIONAL {
+                ?n ex:inRegion ?r . FILTER(?r != <http://example.org/region/1>)
+                OPTIONAL { ?r ex:name ?rname . FILTER(?rname != "ASIA") }
+            }
+        }
+        """,
+    )
+
+
+SQL_SPARQL_NESTED_OPTIONAL = """
+SELECT n_name AS name,
+       CASE WHEN n_regionkey <> 1
+            THEN 'http://example.org/region/' || n_regionkey END AS r,
+       CASE WHEN n_regionkey <> 1 AND r_name <> 'ASIA'
+            THEN r_name END AS rname
+FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 def q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window aggregation over the events stream
     table — the batch shape of the Structured Streaming path (§2.9);
@@ -1573,54 +1610,17 @@ WHERE ROUND(list_dot_product(a.v, b.v) /
 """
 
 
-def q_media_decode(spark, sf_dir):
-    """Multimodal decode plumbing (mapInPandas over Arrow batches).  The
-    decode kernel is a declared deterministic STUB (no codec libs in the
-    container), so the oracle can replay it: width/height/histogram are
-    pure functions of the synthesized bytes.  The query surface emits
-    scalar columns only (the driver's rows-only canonicalizer can't hash
-    array cells); the float feature vector stays on the operator,
-    covered by pytest."""
-    from ont_d2rq_spark.operators.multimodal import decode_media, media_refs_from_docs
-    from ont_d2rq_spark.pipeline.docs import synthesize_interleaved
-
-    docs = synthesize_interleaved(spark, sf_dir)
-    meta = decode_media(media_refs_from_docs(docs))
-    return meta.select(
-        "media_ref",
-        "kind",
-        "n_bytes",
-        "width",
-        "height",
-        F.concat_ws(",", F.transform("hist", lambda x: x.cast("string"))).alias("hist_csv"),
-    )
-
-
-# Replays the STUB decode kernel: content = media_ref || '#' || kind
-# (ASCII), width = 16 + first_byte % 64, height = 16 + len % 64,
-# hist[b] = #bytes with byte % 8 == b.
-SQL_MEDIA_DECODE = f"""
-WITH {_SPANS_CTE},
-m AS (
-  SELECT media_ref, kind, media_ref || '#' || kind AS content
-  FROM spans WHERE media_ref IS NOT NULL
-)
-SELECT media_ref, kind,
-       CAST(length(content) AS BIGINT) AS n_bytes,
-       CAST(16 + (ascii(substr(content, 1, 1)) % 64) AS INT) AS width,
-       CAST(16 + (length(content) % 64) AS INT) AS height,
-       array_to_string(
-         [len(list_filter(range(1, length(content) + 1),
-                          i -> ascii(substr(content, CAST(i AS INT), 1)) % 8 = b))
-          FOR b IN range(8)], ',') AS hist_csv
-FROM m
-"""
-
-
-def q_media_resize(spark, sf_dir):
-    """Vision-preprocessor resize step over decoded media: aspect-
-    preserving fit into a 64px box (REAL integer math on the stub
-    dims, pure Catalyst — no UDF)."""
+def q_media_pipeline(spark, sf_dir):
+    """Multimodal decode + resize pipeline in ONE registry composite
+    (r5: the former media_decode and media_resize rows merged to free a
+    registry slot for sparql_nested_optional).  Decode runs mapInPandas
+    over Arrow batches; the kernel is a declared deterministic STUB
+    (no codec libs in the container), so the oracle replays it:
+    width/height/histogram are pure functions of the synthesized
+    bytes.  Resize is REAL aspect-preserving integer math (pure
+    Catalyst, no UDF).  The query surface emits scalar columns only
+    (the driver's canonicalizer can't hash array cells); the float
+    feature vector stays on the operator, covered by pytest."""
     from ont_d2rq_spark.operators.multimodal import (
         decode_media,
         media_refs_from_docs,
@@ -1630,29 +1630,48 @@ def q_media_resize(spark, sf_dir):
 
     docs = synthesize_interleaved(spark, sf_dir)
     meta = resize_plan(decode_media(media_refs_from_docs(docs)), max_side=64)
-    return meta.select("media_ref", "width", "height", "out_width", "out_height", "scaled")
+    return meta.select(
+        "media_ref",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        "scaled",
+        F.concat_ws(",", F.transform("hist", lambda x: x.cast("string"))).alias("hist_csv"),
+    )
 
 
-SQL_MEDIA_RESIZE = f"""
+# Replays the STUB decode kernel (content = media_ref || '#' || kind,
+# ASCII; width = 16 + first_byte % 64, height = 16 + len % 64,
+# hist[b] = #bytes with byte % 8 == b) and the REAL resize math.
+SQL_MEDIA_PIPELINE = f"""
 WITH {_SPANS_CTE},
 m AS (
-  SELECT media_ref, media_ref || '#' || kind AS content
+  SELECT media_ref, kind, media_ref || '#' || kind AS content
   FROM spans WHERE media_ref IS NOT NULL
 ),
 d AS (
-  SELECT media_ref,
+  SELECT media_ref, kind,
+         CAST(length(content) AS BIGINT) AS n_bytes,
          CAST(16 + (ascii(substr(content, 1, 1)) % 64) AS INT) AS width,
-         CAST(16 + (length(content) % 64) AS INT) AS height
+         CAST(16 + (length(content) % 64) AS INT) AS height,
+         array_to_string(
+           [len(list_filter(range(1, length(content) + 1),
+                            i -> ascii(substr(content, CAST(i AS INT), 1)) % 8 = b))
+            FOR b IN range(8)], ',') AS hist_csv
   FROM m
 )
-SELECT media_ref, width, height,
+SELECT media_ref, kind, n_bytes, width, height,
        GREATEST(CASE WHEN GREATEST(width, height) > 64
                      THEN CAST(FLOOR(width * 64 / GREATEST(width, height)) AS INT)
                      ELSE width END, 1) AS out_width,
        GREATEST(CASE WHEN GREATEST(width, height) > 64
                      THEN CAST(FLOOR(height * 64 / GREATEST(width, height)) AS INT)
                      ELSE height END, 1) AS out_height,
-       GREATEST(width, height) > 64 AS scaled
+       GREATEST(width, height) > 64 AS scaled,
+       hist_csv
 FROM d
 """
 
@@ -1743,8 +1762,8 @@ FLAGSHIP = (
     "pipeline_kg",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "media_decode",
-    "media_resize",
+    "media_pipeline",
+    "sparql_nested_optional",
 )
 
 QUERIES = {
@@ -1774,8 +1793,7 @@ QUERIES = {
     "pipeline_kg": q_pipeline_kg,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "media_decode": q_media_decode,
-    "media_resize": q_media_resize,
+    "media_pipeline": q_media_pipeline,
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
     "sparql_filter_lang": q_sparql_filter_lang,
@@ -1785,6 +1803,7 @@ QUERIES = {
     "sparql_graph": q_sparql_graph,
     "sparql_values_undef": q_sparql_values_undef,
     "sparql_exists": q_sparql_exists,
+    "sparql_nested_optional": q_sparql_nested_optional,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -1835,6 +1854,7 @@ def oracles() -> dict[str, str]:
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_values_undef": SQL_SPARQL_VALUES_UNDEF,
         "sparql_exists": SQL_SPARQL_EXISTS,
+        "sparql_nested_optional": SQL_SPARQL_NESTED_OPTIONAL,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
         "agg_grouping_sets": SQL_AGG_GROUPING_SETS,
@@ -1849,8 +1869,7 @@ def oracles() -> dict[str, str]:
         "simhash_near_dup": sql_simhash_near_dup(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
-        "media_decode": SQL_MEDIA_DECODE,
-        "media_resize": SQL_MEDIA_RESIZE,
+        "media_pipeline": SQL_MEDIA_PIPELINE,
         "pipeline_kg": SQL_PIPELINE_KG,
         "streaming_triples": SQL_CLASSMAP_TYPE,
     }

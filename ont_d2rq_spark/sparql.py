@@ -69,14 +69,20 @@ union of the two directions).  VALUES supports UNDEF (NULL cell +
 null-safe join).  DESCRIBE emits the full Concise Bounded Description
 (bNode fixpoint expansion).
 
+Group bodies are RECURSIVE (r5): OPTIONAL/UNION/MINUS/EXISTS/GRAPH
+groups carry the same algebra as the top level — BIND, VALUES, nested
+OPTIONAL/UNION/MINUS/EXISTS, subqueries and GRAPH all evaluate inside
+the group with correct scope (_eval_where; the reference gets this
+from ARQ's recursive OpExecutor).  An OPTIONAL group's TOP-LEVEL
+filters form the LeftJoin condition; nested filters scope to their own
+group.  Known scope limits (loud, not silent): a filter in an inner
+group referencing an outer-group-only variable fails Catalyst
+resolution, and FILTER EXISTS evaluates group-locally (it cannot see
+the outer row's bindings — no correlated substitution).
+
 Not supported (raise): SERVICE (permanently excluded — this engine
 runs without network access; the reference gets federation free from
-ARQ), repetition over a negated set, and non-filter constructs
-(BIND/VALUES/MINUS/UNION/EXISTS/GRAPH/OPTIONAL/subquery) nested INSIDE
-an OPTIONAL/UNION/MINUS/EXISTS/GRAPH group — flattening them would
-silently change their scope, so the parser raises instead.  Group
-bodies support triple patterns + group-scoped FILTERs; nest anything
-richer via a subquery.
+ARQ) and repetition over a negated set.
 """
 
 from __future__ import annotations
@@ -232,10 +238,12 @@ class Query:
     distinct: bool = False
     patterns: list[tuple] = field(default_factory=list)
     filters: list[str] = field(default_factory=list)
-    # entries: (patterns, group-scoped filter exprs)
-    optional: list[tuple[list[tuple], list[str]]] = field(default_factory=list)
-    # alternative groups: (patterns, branch-scoped filters)
-    union: list[tuple] = field(default_factory=list)
+    # OPTIONAL groups: full recursive Query bodies whose top-level
+    # .filters form the LeftJoin condition (SPARQL leftjoin)
+    optional: list["Query"] = field(default_factory=list)
+    # UNION branches: full recursive Query bodies (branch-scoped
+    # filters and nested constructs evaluate inside the branch)
+    union: list["Query"] = field(default_factory=list)
     order_by: list[tuple] = field(default_factory=list)  # (var, desc)
     limit: Optional[int] = None
     offset: Optional[int] = None
@@ -246,12 +254,12 @@ class Query:
     # (sql_expr, var[, (STRLANG|STRDT, tag)])
     binds: list[tuple] = field(default_factory=list)
     values_clauses: list[tuple] = field(default_factory=list)  # (vars, rows)
-    minus: list[tuple] = field(default_factory=list)  # (patterns, filters)
+    minus: list["Query"] = field(default_factory=list)  # recursive group bodies
     template: list[tuple] = field(default_factory=list)  # CONSTRUCT triples
     describe: list[str] = field(default_factory=list)  # DESCRIBE nodes
     subqueries: list["Query"] = field(default_factory=list)
-    graphs: list[tuple] = field(default_factory=list)  # (graph term, patterns, filters)
-    exists: list[tuple] = field(default_factory=list)  # (negated, patterns, filters)
+    graphs: list[tuple] = field(default_factory=list)  # (graph term, Query body)
+    exists: list[tuple] = field(default_factory=list)  # (negated, Query body)
 
 
 class SparqlError(ValueError):
@@ -447,46 +455,19 @@ class _P:
         if self.kw("OFFSET"):
             q.offset = int(self.next().group(0))
 
-    def _braced(self) -> tuple[list, "Query"]:
+    def _braced(self) -> "Query":
         """Parse a braced group's contents ('{' already consumed) into
-        (patterns, scratch-Query).  The caller scopes scratch.filters
-        to the group (SPARQL group scoping) and re-attaches the other
-        collections at join level via _reattach."""
-        pats: list = []
+        a scratch Query: patterns plus ALL nested constructs (OPTIONAL,
+        UNION, BIND, VALUES, MINUS, FILTER EXISTS, GRAPH, subqueries),
+        recursively — group bodies carry the same algebra as the top
+        level and evaluate through _eval_where (the Spark analogue of
+        ARQ's recursive OpExecutor).  The caller decides how the
+        group's TOP-LEVEL filters scope: OPTIONAL puts them in the
+        LeftJoin condition; UNION branches / MINUS / EXISTS / GRAPH
+        evaluate them inside the group."""
         subq = Query(form="SELECT")
-        self._group(pats, subq)
-        return pats, subq
-
-    @staticmethod
-    def _reattach(q: Query, subq: Query, ctx: str = "group"):
-        """Re-attach a sub-group's non-filter, non-pattern content to
-        the outer query.  Hoisting such content OUT of an
-        OPTIONAL/UNION/MINUS/EXISTS/GRAPH group would silently change
-        its scope (e.g. a FILTER EXISTS written inside an OPTIONAL
-        would gate the whole solution instead of the optional part), so
-        anything whose flattening is semantics-changing raises instead
-        of being silently re-scoped."""
-        unsupported = [
-            name
-            for name, coll in (
-                ("BIND", subq.binds),
-                ("VALUES", subq.values_clauses),
-                ("MINUS", subq.minus),
-                ("UNION", subq.union),
-                ("FILTER EXISTS", subq.exists),
-                ("GRAPH", subq.graphs),
-                ("subquery", subq.subqueries),
-                ("OPTIONAL", subq.optional),
-            )
-            if coll
-        ]
-        if unsupported:
-            raise SparqlError(
-                f"{'/'.join(unsupported)} nested inside {ctx} is not "
-                "supported: flattening it to the outer group would change "
-                "its scope (rewrite the query with the nested construct "
-                "at group level, or use a subquery)"
-            )
+        self._group(subq.patterns, subq)
+        return subq
 
     def _group(self, patterns: list, q: Query):
         while True:
@@ -530,9 +511,7 @@ class _P:
                         if ex is None or ex.group(0).upper() != "EXISTS":
                             raise SparqlError("expected EXISTS after FILTER NOT")
                     self.expect("{")
-                    grp, eq = self._braced()
-                    q.exists.append((neg, grp, eq.filters))
-                    self._reattach(q, eq, "FILTER EXISTS")
+                    q.exists.append((neg, self._braced()))
                     if wrapped:
                         self.expect(")")
                     continue
@@ -541,13 +520,13 @@ class _P:
             if g.upper() == "OPTIONAL":
                 self.next()
                 self.expect("{")
-                # FILTERs written inside the OPTIONAL braces belong to
-                # the LeftJoin condition (SPARQL leftjoin): a failing
-                # filter un-binds the optional part instead of
-                # dropping the solution
-                sub, subq = self._braced()
-                q.optional.append((sub, subq.filters))
-                self._reattach(q, subq, "OPTIONAL")
+                # FILTERs written at the TOP level of the OPTIONAL
+                # braces belong to the LeftJoin condition (SPARQL
+                # leftjoin): a failing filter un-binds the optional
+                # part instead of dropping the solution.  Anything
+                # nested deeper (another OPTIONAL, UNION, BIND, ...)
+                # evaluates recursively inside the group body.
+                q.optional.append(self._braced())
                 continue
             if g == "{":
                 self.next()
@@ -566,22 +545,19 @@ class _P:
                     q.subqueries.append(sub)
                     continue
                 # group — the { A } UNION { B } [UNION { C }] form.
-                # Each branch's FILTERs scope to that branch alone.
-                first, fq = self._braced()
-                q.union.append((first, fq.filters))
-                self._reattach(q, fq, "a UNION branch")
+                # Each branch is a full recursive group; its FILTERs
+                # (and nested constructs) scope to that branch alone.
+                # A lone braced group with no UNION keyword evaluates
+                # as a plain nested group (one-branch "union").
+                q.union.append(self._braced())
                 while self.kw("UNION"):
                     self.expect("{")
-                    alt, aq = self._braced()
-                    q.union.append((alt, aq.filters))
-                    self._reattach(q, aq, "a UNION branch")
+                    q.union.append(self._braced())
                 continue
             if g.upper() == "MINUS":
                 self.next()
                 self.expect("{")
-                sub2, mq = self._braced()
-                q.minus.append((sub2, mq.filters))
-                self._reattach(q, mq, "MINUS")
+                q.minus.append(self._braced())
                 continue
             if g.upper() == "BIND":
                 self.next()
@@ -636,9 +612,7 @@ class _P:
                 self.next()
                 gterm = self.term()
                 self.expect("{")
-                gpats, gq = self._braced()
-                q.graphs.append((gterm, gpats, gq.filters))
-                self._reattach(q, gq, "GRAPH")
+                q.graphs.append((gterm, self._braced()))
                 continue
             if g.upper() == "SERVICE":
                 raise SparqlError("SERVICE not supported (no network)")
@@ -1143,129 +1117,182 @@ def _pattern_vars(pats) -> set:
     return vs
 
 
-def _query_maybe_unbound(q: Query) -> set:
-    """Variables a query's solutions can leave NULL: bound only by some
-    UNION branches, introduced by OPTIONAL groups, or carrying a VALUES
-    UNDEF cell.  (Static over-approximation from the parse — used to
-    decide which joins need compatibility semantics.)"""
-    out: set = set()
-    if q.union:
-        branch_sets = [
-            _pattern_vars(e[0] if isinstance(e, tuple) else e) for e in q.union
-        ]
-        out |= set.union(*branch_sets) - set.intersection(*branch_sets)
-        bound = set.intersection(*branch_sets) | _pattern_vars(q.patterns)
-    else:
-        bound = _pattern_vars(q.patterns)
-    for grp in q.optional:
-        pats = grp[0] if isinstance(grp, tuple) else grp
-        out |= _pattern_vars(pats) - bound
-    for vars_, rows in q.values_clauses:
-        for i, v in enumerate(vars_):
-            if any(r[i] is None for r in rows):
-                out.add(v)
-    # a nested subquery can leave its own projected vars unbound (its
-    # OPTIONAL/UNION/UNDEF), and those propagate through THIS query's
-    # solutions — recurse, restricted to what the subquery projects
+def _q_all_vars(q: Query) -> set:
+    """Every variable a group's solutions CAN bind (recursive over
+    nested group bodies)."""
+    vs = _pattern_vars(q.patterns)
+    vs |= {b[1] for b in q.binds}
+    for vars_, _rows in q.values_clauses:
+        vs |= set(vars_)
+    for oq in q.optional:
+        vs |= _q_all_vars(oq)
+    for bq in q.union:
+        vs |= _q_all_vars(bq)
+    for gterm, gq in q.graphs:
+        vs |= _q_all_vars(gq)
+        if isinstance(gterm, str) and gterm.startswith("?"):
+            vs.add(gterm[1:])
     for s in q.subqueries:
-        sm = _query_maybe_unbound(s)
-        out |= (sm & set(s.variables)) if s.variables else sm
-    return out
+        vs |= set(s.variables) if s.variables else _q_all_vars(s)
+    return vs
 
 
-def _execute_query(graph, q: Query) -> DataFrame:
-    from ont_d2rq_spark.graph import _is_companion
+def _q_certain_vars(q: Query) -> set:
+    """Variables bound in EVERY solution of the group (recursive
+    under-approximation): pattern vars, BIND targets, VALUES vars with
+    no UNDEF cell, vars certain in every UNION branch, GRAPH bodies'
+    certain vars, and subquery projections minus what the subquery can
+    itself leave unbound.  OPTIONAL/MINUS/EXISTS guarantee nothing."""
+    vs = _pattern_vars(q.patterns)
+    vs |= {b[1] for b in q.binds}
+    for vars_, rows in q.values_clauses:
+        vs |= {v for i, v in enumerate(vars_) if all(r[i] is not None for r in rows)}
+    if q.union:
+        vs |= set.intersection(*[_q_certain_vars(b) for b in q.union])
+    for gterm, gq in q.graphs:
+        vs |= _q_certain_vars(gq)
+        if isinstance(gterm, str) and gterm.startswith("?"):
+            vs.add(gterm[1:])
+    for s in q.subqueries:
+        proj = set(s.variables) if s.variables else _q_all_vars(s)
+        vs |= proj - _query_maybe_unbound(s)
+    return vs
 
-    if q.form == "DESCRIBE" and not q.patterns and not q.union:
-        return _describe_frame(graph, None, q.describe)
-    # vars that can be NULL (unbound) in `df` rows: introduced by
-    # OPTIONAL groups, UNION branches that don't bind them, or VALUES
-    # UNDEF cells.  Downstream joins (later OPTIONALs, EXISTS, MINUS,
-    # main-pattern join) give these SPARQL compatibility semantics
-    # (unbound matches anything) instead of null-rejecting equality.
+
+def _query_maybe_unbound(q: Query) -> set:
+    """Variables a query's solutions can leave NULL: anything the group
+    can bind that is not CERTAINLY bound in every solution — vars
+    introduced only by OPTIONAL groups, asymmetric UNION branches,
+    VALUES UNDEF cells, or a subquery's own maybe-unbound projections,
+    recursively through nested group bodies.  (Static
+    over-approximation from the parse — decides which joins need
+    SPARQL compatibility semantics.)"""
+    return _q_all_vars(q) - _q_certain_vars(q)
+
+
+def _unit_frame(graph) -> DataFrame:
+    """The unit solution (one row, no bindings) — SPARQL's Join
+    identity; what an empty group evaluates to."""
+    return graph.spark.range(1).select(F.lit(1).alias("_m"))
+
+
+def _where_content(q: Query) -> bool:
+    return bool(
+        q.patterns
+        or q.union
+        or q.subqueries
+        or q.graphs
+        or q.optional
+        or q.values_clauses
+        or q.binds
+        or q.filters
+        or q.exists
+        or q.minus
+    )
+
+
+def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
+    """Evaluate the WHERE-clause content of ``q`` -> (bindings frame or
+    None, maybe-unbound variable set).  RECURSIVE: OPTIONAL / UNION /
+    MINUS / FILTER-EXISTS / GRAPH bodies are full Query groups that
+    evaluate through this same function, so arbitrary nesting —
+    OPTIONAL inside OPTIONAL, UNION inside OPTIONAL, BIND/VALUES in a
+    UNION branch, OPTIONAL inside GRAPH — works the way the reference
+    gets it from ARQ's recursive OpExecutor (engine/QueryEngineD2RQ
+    delegates residual algebra back to ARQ; here the residual algebra
+    is native DataFrame ops at every depth).
+
+    ``bgp_fn`` overrides how triple patterns evaluate — GRAPH groups
+    pass the graph-scoped BGP so every pattern nested inside them
+    (including subqueries) stays against the named graph.
+    ``skip_filters`` leaves q.filters to the caller: an OPTIONAL's
+    top-level filters belong to the LeftJoin condition (a failing
+    filter un-binds the optional part), while everything nested deeper
+    evaluates inside the body first.
+
+    Fixed application order within a group (same fold as previous
+    rounds, now uniform at every nesting depth): patterns, UNION,
+    OPTIONAL, subqueries, GRAPH, VALUES, BIND, FILTER, FILTER EXISTS,
+    MINUS.  Known scope limits, loud not silent: a FILTER nested in an
+    inner group that references an outer-group-only variable fails
+    Catalyst resolution; EXISTS inside a group evaluates group-locally
+    (it cannot see the outer row's bindings)."""
+    from functools import reduce as _reduce
+
+    from ont_d2rq_spark.graph import _is_companion, optional_join
+
+    if bgp_fn is None:
+        bgp_fn = graph.bgp
     maybe_unbound: set = set()
-    optionals_consumed = not q.optional
-    if not q.union:
-        df = graph.bgp(q.patterns, optional=q.optional) if q.patterns else None
-        if q.patterns:
-            optionals_consumed = True
-            main_vars = _pattern_vars(q.patterns)
-            for grp in q.optional:
-                pats = grp[0] if isinstance(grp, tuple) else grp
-                maybe_unbound |= _pattern_vars(pats) - main_vars
-    else:
-        # { A } UNION { B }: each alternative binds its own variables;
-        # columns missing from one side become NULL (unbound)
-        from functools import reduce as _reduce
+    df = bgp_fn(q.patterns) if q.patterns else None
 
-        def _branch(entry):
-            pats, filts = entry if isinstance(entry, tuple) else (entry, [])
-            b = graph.bgp(pats)
-            for f in filts:  # branch-scoped FILTERs
-                b = _ensure_companions(b, f)
-                b = b.filter(F.expr(f))
-            return b
-
-        parts = [_branch(g) for g in q.union]
-        df = _reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
-        )
-        # a var missing from any branch is NULL in that branch's rows
-        part_cols = [
-            {c for c in p.columns if not _is_companion(c)} for p in parts
-        ]
-        maybe_unbound |= set.union(*part_cols) - set.intersection(*part_cols)
-        if q.patterns:
-            from ont_d2rq_spark.graph import optional_join
-
-            main = graph.bgp(q.patterns)
-            # join main ⋈ union with compatibility on maybe-unbound vars
-            # (left = main is fully bound, so pass the union side left
-            # only when compat is actually needed)
+    # { A } UNION { B }: branches evaluate recursively; a var missing
+    # from (or maybe-unbound inside) any branch is maybe-unbound
+    if q.union:
+        parts, part_maybes = [], []
+        for branch in q.union:
+            b, bm = _eval_where(graph, branch, bgp_fn)
+            parts.append(b if b is not None else _unit_frame(graph))
+            part_maybes.append(bm)
+        u = _reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+        part_cols = [{c for c in p.columns if not _is_companion(c)} for p in parts]
+        u_maybe = (
+            set.union(*part_cols) - set.intersection(*part_cols)
+        ) | set.union(*part_maybes)
+        if df is None:
+            df = u
+            maybe_unbound |= u_maybe
+        else:
+            # join main |X| union with compatibility on maybe-unbound
+            # vars (left = union side, right = the fully-bound main
+            # pattern frame, so the hash-joinable decomposition
+            # applies); an inner-join merge binds the shared vars
             shared = [
-                c for c in main.columns if c in df.columns and not _is_companion(c)
+                c for c in df.columns if c in u.columns and not _is_companion(c)
             ]
-            if set(shared) & maybe_unbound:
-                df = optional_join(
-                    df, main, maybe_unbound=maybe_unbound, how="inner"
-                )
-                maybe_unbound -= set(shared)  # inner-join merge binds them
+            if set(shared) & u_maybe:
+                df = optional_join(u, df, maybe_unbound=u_maybe, how="inner")
+                maybe_unbound |= u_maybe - set(shared)
             else:
-                df = df.drop(
-                    *[c for c in df.columns if _is_companion(c) and c in main.columns]
+                u = u.drop(
+                    *[c for c in u.columns if _is_companion(c) and c in df.columns]
                 )
-                df = main.join(df, on=shared, how="inner") if shared else main.crossJoin(df)
-        for pats, filts in q.optional:
-            from ont_d2rq_spark.graph import optional_join
+                df = df.join(u, on=shared, how="inner") if shared else df.crossJoin(u)
+                maybe_unbound |= u_maybe
 
-            rdf = graph.bgp(pats)
-            shared_bound = {
-                c for c in df.columns if c in rdf.columns and not _is_companion(c)
-            } - maybe_unbound
-            df = optional_join(df, rdf, filts, maybe_unbound=maybe_unbound)
-            maybe_unbound |= {
-                c for c in rdf.columns if not _is_companion(c)
-            } - shared_bound
-        optionals_consumed = True
+    # OPTIONAL groups: recursive body (nested OPTIONAL/UNION/BIND/...
+    # evaluate inside first); the group's TOP-LEVEL filters form the
+    # LeftJoin condition; a later group can adopt an earlier group's
+    # binding (maybe_unbound chaining)
+    for oq in q.optional:
+        rdf, sub_maybe = _eval_where(graph, oq, bgp_fn, skip_filters=True)
+        if rdf is None:
+            continue
+        if df is None:
+            df = _unit_frame(graph)
+        shared_bound = {
+            c for c in df.columns if c in rdf.columns and not _is_companion(c)
+        } - maybe_unbound
+        df = optional_join(
+            df, rdf, oq.filters, maybe_unbound=maybe_unbound, right_maybe=sub_maybe
+        )
+        maybe_unbound |= {
+            c for c in rdf.columns if not _is_companion(c)
+        } - shared_bound
 
-    # subqueries evaluate independently, join on shared variables
+    # subqueries evaluate independently, join on shared variables;
+    # vars the subquery can leave NULL join — and propagate — as
+    # maybe-unbound on the RIGHT side
     for sub in q.subqueries:
-        sdf = _execute_query(graph, sub)
-        # vars the subquery can leave NULL in its projection (its own
-        # OPTIONALs, asymmetric UNION branches, VALUES UNDEF) join —
-        # and propagate — as maybe-unbound
+        sdf = _execute_query(graph, sub, bgp_fn)
         sub_maybe = _query_maybe_unbound(sub) & set(sdf.columns)
         if df is None:
             df = sdf
         else:
-            shared = [c for c in df.columns if c in sdf.columns and not _is_companion(c)]
+            shared = [
+                c for c in df.columns if c in sdf.columns and not _is_companion(c)
+            ]
             if set(shared) & (maybe_unbound | sub_maybe):
-                from ont_d2rq_spark.graph import optional_join
-
-                # left-nullable vars via maybe_unbound, right-nullable
-                # (the subquery's own optional vars) via right_maybe —
-                # the split lets optional_join decompose the
-                # left-nullable-only case into hash-joinable slices
                 df = optional_join(
                     df,
                     sdf,
@@ -1279,62 +1306,73 @@ def _execute_query(graph, q: Query) -> DataFrame:
                 df = df.crossJoin(sdf)
         maybe_unbound |= sub_maybe
 
-    # GRAPH groups: evaluate each against its named graph (constant
-    # IRI) or the union of all named graphs (?g, bound per graph),
-    # then join on shared variables
-    for gentry in q.graphs:
-        gterm, gpats, gfilts = gentry if len(gentry) == 3 else (*gentry, [])
+    # GRAPH groups: recursive bodies with the graph-scoped BGP (nested
+    # constructs inside GRAPH stay against the named graph); constant
+    # IRI scopes directly, ?g unions all named graphs with ?g bound
+    for gterm, gq in q.graphs:
         from ont_d2rq_spark.graph import _is_var as _isv, _var_name as _vn
 
         if _isv(gterm):
-            from functools import reduce as _reduce
+            parts2, gms = [], []
+            for iri in graph.graph_names():
+                def _scoped(pats, _iri=iri):
+                    return graph.graph_scoped_bgp(_iri, pats)
 
-            parts = [
-                graph.graph_scoped_bgp(iri, gpats).withColumn(
-                    _vn(gterm), F.lit(iri)
+                gb, gm = _eval_where(graph, gq, _scoped)
+                parts2.append(
+                    (gb if gb is not None else _unit_frame(graph)).withColumn(
+                        _vn(gterm), F.lit(iri)
+                    )
                 )
-                for iri in graph.graph_names()
-            ]
+                gms.append(gm)
             gdf = _reduce(
-                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts2
             )
+            gcols = [{c for c in p.columns if not _is_companion(c)} for p in parts2]
+            g_maybe = (
+                set.union(*gcols) - set.intersection(*gcols)
+            ) | set.union(*gms)
         else:
-            gdf = graph.graph_scoped_bgp(str(gterm), gpats)
-        for f in gfilts:  # group-scoped FILTERs
-            gdf = _ensure_companions(gdf, f)
-            gdf = gdf.filter(F.expr(f))
+            def _scoped(pats, _iri=str(gterm)):
+                return graph.graph_scoped_bgp(_iri, pats)
+
+            gdf, g_maybe = _eval_where(graph, gq, _scoped)
+            if gdf is None:
+                gdf = _unit_frame(graph)
         if df is None:
             df = gdf
+            maybe_unbound |= g_maybe
         else:
-            shared = [c for c in df.columns if c in gdf.columns and not _is_companion(c)]
-            if set(shared) & maybe_unbound:
-                from ont_d2rq_spark.graph import optional_join
-
-                df = optional_join(df, gdf, maybe_unbound=maybe_unbound, how="inner")
-                maybe_unbound -= set(shared)  # graph side always binds
+            shared = [
+                c for c in df.columns if c in gdf.columns and not _is_companion(c)
+            ]
+            if set(shared) & (maybe_unbound | g_maybe):
+                df = optional_join(
+                    df,
+                    gdf,
+                    maybe_unbound=maybe_unbound,
+                    right_maybe=g_maybe,
+                    how="inner",
+                )
+                # the inner-join merge binds shared vars the graph side
+                # always binds; its own nullable vars stay maybe-unbound
+                maybe_unbound -= set(shared) - g_maybe
+                maybe_unbound |= g_maybe
             else:
                 gdf = gdf.drop(
                     *[c for c in gdf.columns if _is_companion(c) and c in df.columns]
                 )
-                df = df.join(gdf, on=shared, how="inner") if shared else df.crossJoin(gdf)
-    if df is None:  # empty group = one empty solution (SPARQL algebra)
-        df = graph.spark.range(1).select(F.lit(1).alias("_m"))
-    if not optionals_consumed:
-        # OPTIONAL groups not yet applied: the solution so far came from
-        # the unit solution, subqueries, or GRAPH groups — left-join each
-        # optional group now, with the same maybe-unbound chaining as the
-        # main path (a later group can adopt an earlier group's var)
-        from ont_d2rq_spark.graph import optional_join
+                df = (
+                    df.join(gdf, on=shared, how="inner")
+                    if shared
+                    else df.crossJoin(gdf)
+                )
+                maybe_unbound |= g_maybe
 
-        for pats, filts in q.optional:
-            rdf = graph.bgp(pats)
-            shared_bound = {
-                c for c in df.columns if c in rdf.columns and not _is_companion(c)
-            } - maybe_unbound
-            df = optional_join(df, rdf, filts, maybe_unbound=maybe_unbound)
-            maybe_unbound |= {
-                c for c in rdf.columns if not _is_companion(c)
-            } - shared_bound
+    if df is None and (q.values_clauses or q.binds or q.filters or q.exists):
+        df = _unit_frame(graph)
+    if df is None:
+        return None, maybe_unbound
 
     # VALUES: inline binding tables, broadcast-joined on shared vars.
     # UNDEF cells (None) place no constraint on that variable in that
@@ -1358,7 +1396,7 @@ def _execute_query(graph, q: Query) -> DataFrame:
         if shared:
             cond = None
             for v in shared:
-                # either side unbound → compatible; both bound → equal
+                # either side unbound -> compatible; both bound -> equal
                 c = (
                     F.col(f"__val_{v}").isNull()
                     | F.col(v).isNull()
@@ -1395,58 +1433,83 @@ def _execute_query(graph, q: Query) -> DataFrame:
                 f"{var}__dt",
                 F.lit(tag) if kind == "STRDT" else F.lit(None).cast("string"),
             )
-    for f in q.filters:
-        df = _ensure_companions(df, f)
-        df = df.filter(F.expr(f))
+    if not skip_filters:
+        for f in q.filters:
+            df = _ensure_companions(df, f)
+            df = df.filter(F.expr(f))
     # FILTER [NOT] EXISTS: semi/anti join on shared variables; with no
     # shared variables the group acts as a global non-emptiness gate
-    # (unlike MINUS, NOT EXISTS on disjoint domains still filters)
-    for neg, group, efilts in q.exists:
-        sub = graph.bgp(group)
-        for f in efilts:  # group-scoped FILTERs
-            sub = _ensure_companions(sub, f)
-            sub = sub.filter(F.expr(f))
+    # (unlike MINUS, NOT EXISTS on disjoint domains still filters).
+    # Bodies are recursive groups; vars nullable on EITHER side get
+    # compatibility conditions.
+    for neg, eq in q.exists:
+        sub, sub_maybe = _eval_where(graph, eq, bgp_fn)
+        if sub is None:
+            sub = _unit_frame(graph)
         shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
         how = "left_anti" if neg else "left_semi"
-        compat = [c for c in shared if c in maybe_unbound]
+        compat = [c for c in shared if c in maybe_unbound or c in sub_maybe]
         if compat:
-            # SPARQL compatibility: an unbound var on the outer row is
-            # compatible with any inner binding (null-rejecting equality
+            # SPARQL compatibility: an unbound var on either side is
+            # compatible with any binding (null-rejecting equality
             # would silently miss matches here)
             sub = sub.select(*[F.col(c).alias(f"__ex_{c}") for c in shared])
             cond = F.lit(True)
             for c in shared:
-                eq = F.col(c) == F.col(f"__ex_{c}")
-                cond = cond & ((F.col(c).isNull() | eq) if c in compat else eq)
+                eq_ = F.col(c) == F.col(f"__ex_{c}")
+                if c in compat:
+                    n = F.lit(False)
+                    if c in maybe_unbound:
+                        n = n | F.col(c).isNull()
+                    if c in sub_maybe:
+                        n = n | F.col(f"__ex_{c}").isNull()
+                    cond = cond & (n | eq_)
+                else:
+                    cond = cond & eq_
             df = df.join(sub, cond, how)
         elif shared:
             df = df.join(sub.select(*shared), on=shared, how=how)
         else:
             df = df.join(sub, F.lit(True), how)
 
-    # MINUS: anti-join on shared variables (no shared vars → no-op,
-    # per SPARQL MINUS semantics on disjoint domains)
-    for mentry in q.minus:
-        mpats, mfilts = mentry if isinstance(mentry, tuple) else (mentry, [])
-        sub = graph.bgp(mpats)
-        for f in mfilts:  # group-scoped FILTERs
-            sub = _ensure_companions(sub, f)
-            sub = sub.filter(F.expr(f))
+    # MINUS: anti-join on shared variables (no shared vars -> no-op,
+    # per SPARQL MINUS semantics on disjoint domains); removal requires
+    # a compatible solution AND dom(mu1) int dom(mu2) != empty
+    for mq in q.minus:
+        sub, sub_maybe = _eval_where(graph, mq, bgp_fn)
+        if sub is None:
+            continue
         shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
-        compat = [c for c in shared if c in maybe_unbound]
+        compat = [c for c in shared if c in maybe_unbound or c in sub_maybe]
         if compat:
-            # MINUS removes μ1 only when some μ2 is compatible AND
-            # dom(μ1)∩dom(μ2) ≠ ∅ — with per-row unbound vars that means
-            # at least one shared var bound on BOTH sides
             sub = sub.select(*[F.col(c).alias(f"__mn_{c}") for c in shared])
             cond, dom = F.lit(True), F.lit(False)
             for c in shared:
-                eq = F.col(c) == F.col(f"__mn_{c}")
-                cond = cond & ((F.col(c).isNull() | eq) if c in compat else eq)
+                eq_ = F.col(c) == F.col(f"__mn_{c}")
+                if c in compat:
+                    n = F.lit(False)
+                    if c in maybe_unbound:
+                        n = n | F.col(c).isNull()
+                    if c in sub_maybe:
+                        n = n | F.col(f"__mn_{c}").isNull()
+                    cond = cond & (n | eq_)
+                else:
+                    cond = cond & eq_
                 dom = dom | (F.col(c).isNotNull() & F.col(f"__mn_{c}").isNotNull())
             df = df.join(sub, cond & dom, "left_anti")
         elif shared:
             df = df.join(sub.select(*shared), on=shared, how="left_anti")
+    return df, maybe_unbound
+
+
+def _execute_query(graph, q: Query, bgp_fn=None) -> DataFrame:
+    from ont_d2rq_spark.graph import _is_companion
+
+    if q.form == "DESCRIBE" and not _where_content(q):
+        return _describe_frame(graph, None, q.describe)
+    df, _maybe = _eval_where(graph, q, bgp_fn)
+    if df is None:  # empty group = one empty solution (SPARQL algebra)
+        df = _unit_frame(graph)
 
     if q.form == "ASK":
         return graph.spark.createDataFrame([(not df.isEmpty(),)], "ask boolean")

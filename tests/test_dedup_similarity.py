@@ -236,3 +236,24 @@ def test_text_analysis(docs):
     fp = {r["doc_id"]: r["fingerprint"] for r in TX.fingerprint(docs).collect()}
     assert fp[1] == fp[5]  # whitespace/case normalization
     assert fp[1] != fp[3]
+
+
+def test_lsh_verify_join_broadcast_cap_guarded(spark):
+    """r5: the stats path reuses its exact candidate count as a
+    cap-guarded broadcast decision for the verification join (the
+    checkpointed candidate frame has no stats, so Catalyst would
+    otherwise sort-merge).  Under the cap → BroadcastHashJoin; with the
+    cap forced to 0 the hint must NOT appear (at 100x the candidate
+    set exceeds any broadcast budget and must stay partitioned)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.lsh_near_dup_pairs(e, dim=64, with_stats=True)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    old = S.CAND_BROADCAST_CAP
+    S.CAND_BROADCAST_CAP = 0
+    try:
+        out2 = S.lsh_near_dup_pairs(e, dim=64, with_stats=True)
+        lp = out2._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in lp and "broadcast" not in lp.lower()
+    finally:
+        S.CAND_BROADCAST_CAP = old

@@ -131,27 +131,32 @@ def test_subquery_optional_var_joins_compatibly(graph):
     assert all(r["r"] is not None for r in rows)  # outer binding adopted
 
 
-def test_nested_group_content_raises(graph):
-    """Non-filter content inside an OPTIONAL/UNION group must raise —
-    flattening it to the outer group would silently change its scope."""
-    from ont_d2rq_spark.sparql import SparqlError, parse
-
-    with pytest.raises(SparqlError, match="nested inside OPTIONAL"):
-        parse(
-            f"""PREFIX ex: <{EX}>
-            SELECT ?n WHERE {{
-              ?n a ex:Nation .
-              OPTIONAL {{ ?n ex:inRegion ?r BIND(1 AS ?x) }}
-            }}"""
-        )
-    with pytest.raises(SparqlError, match="nested inside a UNION branch"):
-        parse(
-            f"""PREFIX ex: <{EX}>
-            SELECT ?n WHERE {{
-              {{ ?n a ex:Nation . OPTIONAL {{ ?n ex:inRegion ?r }} }}
-              UNION {{ ?n a ex:Region }}
-            }}"""
-        )
+def test_nested_group_content_evaluates(graph):
+    """r4 REJECTED non-filter content nested inside an OPTIONAL/UNION
+    group (flattening would change its scope); r5 evaluates group
+    bodies recursively, so the same queries now run with the correct
+    group-scoped semantics (see test_sparql_r5 for the full matrix)."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?x WHERE {{
+          ?n a ex:Nation .
+          OPTIONAL {{ ?n ex:inRegion ?r BIND(1 AS ?x) }}
+        }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 25 and all(r["x"] == "1" or r["x"] == 1 for r in rows)
+    df2 = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?r WHERE {{
+          {{ ?n a ex:Nation . OPTIONAL {{ ?n ex:inRegion ?r }} }}
+          UNION {{ ?n a ex:Region }}
+        }}""",
+    )
+    rows2 = df2.collect()
+    assert len(rows2) == 30  # 25 nations (r bound) + 5 regions (r unbound)
+    assert sum(1 for r in rows2 if r["r"] is None) == 5
 
 
 def test_optional_filter_over_adopted_var(graph):

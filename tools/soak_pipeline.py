@@ -1,10 +1,11 @@
-"""End-to-end 100×-shape soak (round-4 verdict item #8).
+"""End-to-end 100×-shape soak (round-4 verdict item #8; r5 adds #7).
 
-Chains the three heaviest production paths — north-star KG pipeline
+Chains the four heaviest production paths — north-star KG pipeline
 (synth → Arrow-UDF mentions → link → CC → canonical rewrite), MinHash
-near-dup over documents, and LSH embedding near-dup — on a ×64 corpus
-(320k docs / 128k vectors), each stage writing parquet, and records the
-evidence the per-operator scale arguments only assert:
+near-dup over documents, LSH embedding near-dup, and the SPARQL
+surface (9.6M-row BGP join + inRegion+ closure + nested compat
+OPTIONALs over a ×64 fact inflation) — each stage writing parquet, and
+records the evidence the per-operator scale arguments only assert:
 
   * per-job wall + output rows,
   * peak per-stage shuffle read/write bytes (REST API, localhost UI),
@@ -46,6 +47,7 @@ sys.path.insert(0, str(REPO))
 
 SRC = "/root/testdata/sf0.1"
 SOAK_DIR = "/dev/shm/soak_input"
+SOAK_TPCH = "/dev/shm/soak_tpch"
 OUT_DIR = "/dev/shm/soak_out"
 K = 64
 UI_PORT = 4049
@@ -92,6 +94,65 @@ def build_input(spark):
     spark.read.parquet(f"{SRC}/customer.parquet").write.mode("overwrite").parquet(
         f"{SOAK_DIR}/customer.parquet"
     )
+
+
+def build_tpch_input(spark):
+    """×64 tpch subset for the SPARQL soak: customer and orders inflate
+    with key-shifted PKs/FKs (each replica a consistent foreign-key
+    world over the SAME small nation/region dims — the realistic shape:
+    facts grow, dims don't); the other mapped tables copy as-is so the
+    mapping compiles unchanged.  Keys cast to long — 64 replicas
+    overflow int32."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    for t in ("region", "nation", "supplier", "part", "lineitem"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{SOAK_TPCH}/{t}.parquet"
+        )
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            cust.withColumn(
+                "c_custkey",
+                (F.col("c_custkey").cast("long") + F.lit(i * 1_000_000_000)),
+            )
+            for i in range(K)
+        ],
+    ).repartition(64).write.mode("overwrite").parquet(f"{SOAK_TPCH}/customer.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            orders.withColumns(
+                {
+                    "o_orderkey": F.col("o_orderkey").cast("long")
+                    + F.lit(i * 1_000_000_000),
+                    "o_custkey": F.col("o_custkey").cast("long")
+                    + F.lit(i * 1_000_000_000),
+                }
+            )
+            for i in range(K)
+        ],
+    ).repartition(64).write.mode("overwrite").parquet(f"{SOAK_TPCH}/orders.parquet")
+
+
+# BGP join (9.6M orders ⋈ 960k customers on minted URIs) + property-path
+# closure (inRegion+) + nested compat OPTIONALs: the first leaves ?rn
+# maybe-unbound (ASIA filtered), the second shares ?rn — exercising the
+# null-mask decomposition (graph._masked_compat_join) at soak scale.
+SOAK_SPARQL = """
+PREFIX ex: <http://example.org/>
+SELECT ?o ?c ?n ?r ?rn WHERE {
+    ?o ex:placedBy ?c .
+    ?c ex:inNation ?n .
+    ?n ex:inRegion+ ?r .
+    OPTIONAL { ?r ex:name ?rn . FILTER(?rn != "ASIA") }
+    OPTIONAL { ?r2 ex:name ?rn . ?r2 a ex:Region }
+}
+"""
 
 
 def rest(path: str):
@@ -184,6 +245,9 @@ def main():
     if not Path(f"{SOAK_DIR}/embeddings.parquet").exists():
         build_input(spark)
         print("input built", flush=True)
+    if not Path(f"{SOAK_TPCH}/orders.parquet").exists():
+        build_tpch_input(spark)
+        print("tpch input built", flush=True)
     ship_package(spark)
     app_id = sc.applicationId
 
@@ -235,6 +299,16 @@ def main():
         ),
         f"{OUT_DIR}/lsh.parquet",
     )
+
+    def sparql_job():
+        from ont_d2rq_spark.examples import tpch_mapping
+        from ont_d2rq_spark.graph import VirtualGraph
+        from ont_d2rq_spark.sparql import execute
+
+        g = VirtualGraph(tpch_mapping(SOAK_TPCH), spark)
+        return execute(g, SOAK_SPARQL)
+
+    run("sparql", sparql_job, f"{OUT_DIR}/sparql.parquet")
 
     skews = [j["worst_task_skew"].get("ratio", 0) for j in results["jobs"].values()]
     results["max_task_skew_ratio"] = max(skews)
