@@ -109,6 +109,13 @@ def main() -> None:
     # headline 10: SPARQL front-end (parse → BGP compile → Catalyst agg)
     timed("sparql_agg", lambda: QUERIES["sparql_agg"](spark, sf_dir).count())
 
+    # headline 11: nested OPTIONAL groups (r5) — recursive group
+    # evaluation + the hash-joinable compat-join decomposition
+    timed(
+        "sparql_nested_optional",
+        lambda: QUERIES["sparql_nested_optional"](spark, sf_dir).count(),
+    )
+
     # B4 evidence: consolidated scaling verdict (written by the
     # tools/bench_scaling*.py harnesses; see BENCH/BASELINE.md for the
     # full protocol, raw walls, and box-ceiling measurements)

@@ -168,12 +168,10 @@ def _triple_frame_single(tdf: DataFrame, s, p, o, swap: bool = False, pred_filte
                     F.col("obj_lang").alias(f"{v}__lang"),
                     F.col("is_literal").alias(f"{v}__islit"),
                 ]
-            else:
-                sel += [
-                    F.lit(None).cast("string").alias(f"{v}__dt"),
-                    F.lit(None).cast("string").alias(f"{v}__lang"),
-                    F.lit(False).alias(f"{v}__islit"),
-                ]
+            # subjects/predicates are never literals: emit NO companion
+            # columns (consumers default missing ones to NULL/false;
+            # joins stay lexical there — term equality ≡ lexical for
+            # URIs — keeping join keys free of dead constant columns)
             continue
         f = f.filter(F.col(col) == F.lit(str(term)))
         if col == "obj" and isinstance(term, Lit):
@@ -236,11 +234,10 @@ def _triple_frame_closure(tdf: DataFrame, s, pth: "PathPlus", o) -> DataFrame:
             else:
                 seen[v] = col
                 sel.append(F.col(col).alias(v))
-                sel += [
-                    F.lit(None).cast("string").alias(f"{v}__dt"),
-                    F.lit(None).cast("string").alias(f"{v}__lang"),
-                    F.lit(False).alias(f"{v}__islit"),
-                ]
+                # closure endpoints carry no literal metadata — emit NO
+                # companion columns (consumers default missing ones to
+                # NULL/false; joins fall back to lexical, correct for
+                # the URI-only closure domain)
         elif term is not None:
             df = df.filter(F.col(col) == F.lit(str(term)))
     return df.select(*sel) if sel else df.limit(1).select(F.lit(1).alias("_m"))
@@ -482,14 +479,28 @@ def _masked_compat_join(
                     f = f.replace("\x01M\x01", f"__lj_{c}" if c in m else c)
                 cond = cond & F.expr(_unmask_strings(f, _strs))
             out = sl.join(right, cond, how)
-            for c in m:
-                # the whole slice has left-c NULL: adopt the right value
-                # and its typed-literal companions
-                out = out.withColumn(c, F.col("__lj_" + c))
+            for c in compat:
+                adopted = c in m
+                if adopted:
+                    # the whole slice has left-c NULL: adopt the right
+                    # value and its typed-literal companions
+                    out = out.withColumn(c, F.col("__lj_" + c))
                 for suf in _COMPANION_SUFFIXES:
-                    rc = f"__lj_{c}{suf}"
-                    if rc in out.columns:
-                        out = out.withColumn(f"{c}{suf}", F.col(rc))
+                    rc, lc = f"__lj_{c}{suf}", f"{c}{suf}"
+                    if rc not in out.columns:
+                        continue
+                    if adopted:
+                        out = out.withColumn(lc, F.col(rc))
+                    elif lc not in out.columns:
+                        # bound slice with no left metadata: create the
+                        # column anyway so every mask's schema aligns
+                        # for the final unionByName
+                        out = out.withColumn(
+                            lc,
+                            F.lit(False).cast("boolean")
+                            if suf == "__islit"
+                            else F.lit(None).cast("string"),
+                        )
             outs.append(out.drop(*[c for c in out.columns if c.startswith("__lj_")]))
     return reduce(lambda a, b: a.unionByName(b), outs)
 
@@ -932,18 +943,16 @@ class VirtualGraph:
                     seen[v] = col
                     sel.append(F.col(col).alias(v))
                     # typed-literal companions: FILTER builtins
-                    # (lang/datatype) evaluate against these
+                    # (lang/datatype) evaluate against these.  Only
+                    # OBJECT positions can be literals — subject/pred
+                    # vars emit no companions (consumers default the
+                    # missing columns to NULL/false, and join keys stay
+                    # free of dead constant metadata)
                     if col == "obj":
                         sel += [
                             F.col("obj_datatype").alias(f"{v}__dt"),
                             F.col("obj_lang").alias(f"{v}__lang"),
                             F.col("is_literal").alias(f"{v}__islit"),
-                        ]
-                    else:  # subjects/predicates are never literals
-                        sel += [
-                            F.lit(None).cast("string").alias(f"{v}__dt"),
-                            F.lit(None).cast("string").alias(f"{v}__lang"),
-                            F.lit(False).alias(f"{v}__islit"),
                         ]
         return df.select(*sel) if sel else df.limit(1).select(F.lit(1).alias("_m"))
 
@@ -999,11 +1008,8 @@ class VirtualGraph:
                 else:
                     seen[v] = col
                     sel.append(F.col(col).alias(v))
-                    sel += [
-                        F.lit(None).cast("string").alias(f"{v}__dt"),
-                        F.lit(None).cast("string").alias(f"{v}__lang"),
-                        F.lit(False).alias(f"{v}__islit"),
-                    ]
+                    # closure endpoints: no literal metadata carried
+                    # through the closure — no companion columns
             elif term is not None:
                 df = df.filter(F.col(col) == F.lit(str(term)))
         return df.select(*sel) if sel else df.limit(1).select(F.lit(1).alias("_m"))

@@ -316,9 +316,13 @@ def ivf_topk(
 
 # Verification-join broadcast guard (lsh_near_dup_pairs): estimated
 # bytes per candidate id-pair row, and the cap under which the
-# exact-counted candidate frame may be broadcast.  Kept well below
-# typical spark.sql.autoBroadcastJoinThreshold / driver memory so the
-# hint can never out-size what Spark itself would accept.
+# exact-counted candidate frame may be broadcast.  8 MiB is MEASURED,
+# not guessed: at sf0.1 (267k candidate pairs ≈ 34 MB estimate) the
+# broadcast build+ship costs 8.0 s vs 3.3 s for the sort-merge join —
+# the candidate side is the LARGE side of the verification join, so
+# broadcasting only pays while it is genuinely small (sf0.01: 16.8k
+# pairs ≈ 2 MB, plan-asserted BroadcastHashJoin).  At 100× the set is
+# GBs and the guard keeps the join hash-partitioned.
 CAND_ROW_BYTES = 128
 CAND_BROADCAST_CAP = 8 << 20  # 8 MiB
 

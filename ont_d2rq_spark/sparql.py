@@ -1213,10 +1213,10 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
     Fixed application order within a group (same fold as previous
     rounds, now uniform at every nesting depth): patterns, UNION,
     OPTIONAL, subqueries, GRAPH, VALUES, BIND, FILTER, FILTER EXISTS,
-    MINUS.  Known scope limits, loud not silent: a FILTER nested in an
-    inner group that references an outer-group-only variable fails
-    Catalyst resolution; EXISTS inside a group evaluates group-locally
-    (it cannot see the outer row's bindings)."""
+    MINUS.  EXISTS bodies are correlated through their top-level
+    filters (folded into the semi/anti-join condition over the merged
+    row); a FILTER nested deeper that references an outer-group-only
+    variable fails Catalyst resolution — loud, not silent."""
     from functools import reduce as _reduce
 
     from ont_d2rq_spark.graph import _is_companion, optional_join
@@ -1441,19 +1441,41 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
     # shared variables the group acts as a global non-emptiness gate
     # (unlike MINUS, NOT EXISTS on disjoint domains still filters).
     # Bodies are recursive groups; vars nullable on EITHER side get
-    # compatibility conditions.
+    # compatibility conditions.  The body's TOP-LEVEL filters evaluate
+    # over the MERGED outer×body row as part of the join condition —
+    # the Spark shape of ARQ's correlated EXISTS substitution: a
+    # filter referencing an OUTER variable sees the outer row's
+    # binding (deeper-nested filters stay group-local).
     for neg, eq in q.exists:
-        sub, sub_maybe = _eval_where(graph, eq, bgp_fn)
+        sub, sub_maybe = _eval_where(graph, eq, bgp_fn, skip_filters=True)
+        efilts = list(eq.filters)
         if sub is None:
             sub = _unit_frame(graph)
         shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
         how = "left_anti" if neg else "left_semi"
         compat = [c for c in shared if c in maybe_unbound or c in sub_maybe]
-        if compat:
-            # SPARQL compatibility: an unbound var on either side is
-            # compatible with any binding (null-rejecting equality
-            # would silently miss matches here)
-            sub = sub.select(*[F.col(c).alias(f"__ex_{c}") for c in shared])
+        if compat or efilts:
+            from ont_d2rq_spark.graph import _mask_strings, _unmask_strings
+
+            # companions a filter references but neither side binds
+            # default to NULL / false (untyped binding)
+            for f in efilts:
+                for tok in set(_COMP_RE.findall(_mask_strings(f)[0])):
+                    if tok not in sub.columns and tok not in df.columns:
+                        sub = sub.withColumn(
+                            tok,
+                            F.lit(False)
+                            if tok.endswith("__islit")
+                            else F.lit(None).cast("string"),
+                        )
+            # rename every body column colliding with the outer frame
+            # (shared vars, their companions, the unit marker) so the
+            # join condition can address both sides
+            ren = {c: f"__ex_{c}" for c in sub.columns if c in df.columns}
+            sub = sub.select(
+                *[F.col(c).alias(ren.get(c, c)) for c in sub.columns]
+            )
+            sub_cols = set(sub.columns)
             cond = F.lit(True)
             for c in shared:
                 eq_ = F.col(c) == F.col(f"__ex_{c}")
@@ -1466,6 +1488,21 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
                     cond = cond & (n | eq_)
                 else:
                     cond = cond & eq_
+            for f in efilts:
+                # substitution: a shared var reference means the body's
+                # binding (≡ the outer one when both bound — the join
+                # condition equates them; the body's when the outer is
+                # unbound); outer-only vars resolve from the left side
+                # untouched.  String constants are masked first.
+                fm, _strs = _mask_strings(f)
+                for c in shared:
+                    fm = re.sub(rf"\b{re.escape(c)}\b", "\x01S\x01", fm)
+                    for suf in ("__dt", "__lang", "__islit"):
+                        tok = f"{c}{suf}"
+                        if f"__ex_{tok}" in sub_cols:
+                            fm = re.sub(rf"\b{tok}\b", f"__ex_{tok}", fm)
+                    fm = fm.replace("\x01S\x01", f"coalesce(__ex_{c}, {c})")
+                cond = cond & F.expr(_unmask_strings(fm, _strs))
             df = df.join(sub, cond, how)
         elif shared:
             df = df.join(sub.select(*shared), on=shared, how=how)

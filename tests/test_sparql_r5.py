@@ -438,3 +438,75 @@ def test_nested_optional_depth3(graph):
     assert len(rows) == 25
     assert all(r["r"] is not None and r["rn"] is not None for r in rows)
     assert all(str(r["d"]) == "1" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# correlated EXISTS: body top-level filters see the OUTER row's bindings
+# ---------------------------------------------------------------------------
+
+
+def test_exists_filter_correlates_outer_var(graph):
+    """A FILTER inside EXISTS referencing an outer-only variable (?nn)
+    evaluates against the outer row (ARQ substitution semantics) —
+    r4 would fail Catalyst resolution; r5 folds the body's top-level
+    filters into the semi-join condition."""
+    got = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?nn WHERE {{
+          ?n a ex:Nation . ?n ex:name ?nn .
+          FILTER EXISTS {{ ?s a ex:Supplier . ?s ex:inNation ?n2 .
+                           ?n2 ex:name ?sn . FILTER(?sn = ?nn) }}
+        }}""",
+    ).collect()
+    # de-correlated reference: nations that host at least one supplier
+    expect = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT DISTINCT ?nn WHERE {{
+          ?n a ex:Nation . ?n ex:name ?nn .
+          ?s a ex:Supplier . ?s ex:inNation ?n
+        }}""",
+    ).collect()
+    assert {r["nn"] for r in got} == {r["nn"] for r in expect}
+    assert 0 < len(got) < 25  # discriminating: some nations lack suppliers
+
+
+def test_not_exists_filter_correlates_outer_var(graph):
+    """NOT EXISTS with a correlated filter is the complement."""
+    got = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?nn WHERE {{
+          ?n a ex:Nation . ?n ex:name ?nn .
+          FILTER NOT EXISTS {{ ?s a ex:Supplier . ?s ex:inNation ?n2 .
+                               ?n2 ex:name ?sn . FILTER(?sn = ?nn) }}
+        }}""",
+    ).collect()
+    with_sup = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT DISTINCT ?nn WHERE {{
+          ?n a ex:Nation . ?n ex:name ?nn .
+          ?s a ex:Supplier . ?s ex:inNation ?n
+        }}""",
+    ).count()
+    assert len(got) == 25 - with_sup
+
+
+def test_compat_join_right_companions_schema_aligned(spark):
+    """Right side carries typed-literal companions for the compat var
+    but the left does not (VALUES-introduced var): every null-mask
+    slice must produce the same schema (the adopted slice gains the
+    companions, the bound slice gets NULL ones) — regression for the
+    unionByName mismatch."""
+    left = spark.createDataFrame([("a", "v1"), ("b", None)], "n string, r string")
+    right = spark.createDataFrame(
+        [("a", "v1", "http://x/dt", None, True, "p"), ("b", "v2", None, "en", True, "q")],
+        "n string, r string, r__dt string, r__lang string, r__islit boolean, x string",
+    )
+    out = optional_join(left, right, maybe_unbound={"r"}).collect()
+    got = {(r["n"], r["r"], r["x"]) for r in out}
+    assert got == {("a", "v1", "p"), ("b", "v2", "q")}
+    by_n = {r["n"]: r for r in out}
+    assert by_n["b"]["r__lang"] == "en"  # adopted metadata travels
