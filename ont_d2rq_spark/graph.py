@@ -431,6 +431,12 @@ def _unmask_strings(text: str, parts: list[str]) -> str:
     return re.sub(r"\x00(\d+)\x00", lambda m: parts[int(m.group(1))], text)
 
 
+def _comp_default(tok: str) -> str:
+    """SQL literal an absent companion column stands for: an untyped,
+    non-literal binding (false islit, NULL datatype/lang)."""
+    return "false" if tok.endswith("__islit") else "CAST(NULL AS STRING)"
+
+
 def _masked_compat_join(
     left: DataFrame,
     right: DataFrame,
@@ -453,6 +459,15 @@ def _masked_compat_join(
     from itertools import combinations
 
     right_cols = set(right.columns)
+    left_cols = set(left.columns)
+    if len(compat) >= 2:
+        # 4+ slices would re-execute both subtrees per slice (Spark
+        # does not share subtrees across union branches) — pay each
+        # side once via a lazy local checkpoint.  k=1 keeps the plain
+        # plan: two slices of a pushdown-friendly tree beat one
+        # checkpoint that strips stats and pushdown.
+        left = left.localCheckpoint(eager=False)
+        right = right.localCheckpoint(eager=False)
     outs: list[DataFrame] = []
     for k in range(len(compat) + 1):
         for null_vars in combinations(compat, k):
@@ -467,15 +482,24 @@ def _masked_compat_join(
             for f in filters:
                 # per-slice the merged binding is KNOWN: a NULL compat
                 # var adopts the right value, a bound one keeps the
-                # left — rewrite tokens exactly (strings masked first)
+                # left — rewrite tokens exactly (strings masked first);
+                # companion references dangle when a side carries no
+                # metadata columns (subject-position vars) and default
+                # to the untyped binding
                 f, _strs = _mask_strings(f)
                 for c in compat:
                     f = re.sub(rf"\b{re.escape(c)}\b", "\x01M\x01", f)
-                    if c in m:
-                        for suf in _COMPANION_SUFFIXES:
-                            tok = f"{c}{suf}"
-                            if f"__lj_{tok}" in right_cols:
-                                f = re.sub(rf"\b{tok}\b", f"__lj_{tok}", f)
+                    for suf in _COMPANION_SUFFIXES:
+                        tok = f"{c}{suf}"
+                        if c in m:
+                            repl = (
+                                f"__lj_{tok}"
+                                if f"__lj_{tok}" in right_cols
+                                else _comp_default(tok)
+                            )
+                            f = re.sub(rf"\b{tok}\b", repl, f)
+                        elif tok not in left_cols:
+                            f = re.sub(rf"\b{tok}\b", _comp_default(tok), f)
                     f = f.replace("\x01M\x01", f"__lj_{c}" if c in m else c)
                 cond = cond & F.expr(_unmask_strings(f, _strs))
             out = sl.join(right, cond, how)
@@ -598,6 +622,7 @@ def optional_join(
     # adopting side's copy.  Sentinels keep the three rewrites from
     # corrupting each other's emitted text.
     right_cols = set(right.columns)
+    left_cols = set(left.columns)
     for f in filters:
         # string constants are masked first: the \b-token rewrites must
         # never touch a variable name occurring INSIDE a quoted literal
@@ -608,11 +633,20 @@ def optional_join(
             for suf in _COMPANION_SUFFIXES:
                 tok = f"{c}{suf}"
                 if f"__lj_{tok}" in right_cols:
+                    # the merged companion: adopted side's copy when the
+                    # left binding is NULL.  Either side may LACK the
+                    # column (subject-position vars carry no companions
+                    # since r5) — dangling references become the
+                    # untyped-binding default instead of an unresolvable
+                    # column
+                    lref = tok if tok in left_cols else _comp_default(tok)
                     f = re.sub(
                         rf"\b{tok}\b",
-                        f"(CASE WHEN \x01L\x01 IS NULL THEN __lj_{tok} ELSE {tok} END)",
+                        f"(CASE WHEN \x01L\x01 IS NULL THEN __lj_{tok} ELSE {lref} END)",
                         f,
                     )
+                elif tok not in left_cols:
+                    f = re.sub(rf"\b{tok}\b", _comp_default(tok), f)
             f = f.replace("\x01M\x01", f"coalesce({c}, __lj_{c})")
             f = f.replace("\x01L\x01", c)
         cond = cond & F.expr(_unmask_strings(f, _strs))
@@ -1033,7 +1067,12 @@ class VirtualGraph:
         ``optional``: a list of OPTIONAL groups — each a pattern list,
         or a (patterns, filters) tuple whose filters are scoped to the
         group (evaluated inside the LeftJoin condition, SPARQL
-        leftjoin semantics) — left-joined on the shared variables."""
+        leftjoin semantics) — left-joined on the shared variables.
+        NOTE: this parameter serves the direct-API/find surface only;
+        the SPARQL front-end applies OPTIONALs itself via the
+        recursive sparql._eval_where (which also handles nullable
+        RIGHT sides via right_maybe — impossible here, where every
+        group is a plain always-binding pattern list)."""
         # negated property sets → internal predicate variable + NOT IN
         # post-filter (inverse-only sets swap subject/object); the
         # internal column is dropped before returning, so the rewrite
@@ -1133,9 +1172,13 @@ class VirtualGraph:
         # size of intermediates, which AQE can only partially repair
         # after a bad start (URIMakerRule ordering in the reference).
         # Joins compare at RDF-TERM level (rdf_term_join): lexical value
-        # PLUS canonical literal metadata where both sides carry
-        # companions — so which pattern joins first no longer decides
-        # which metadata survives (the r4 order-dependence is closed).
+        # PLUS canonical literal metadata where both sides carry the
+        # companion set — i.e. for OBJECT-position/object-position var
+        # pairs, which is where differing metadata can exist; there the
+        # r4 order-dependence is closed.  A var bound in subject
+        # position on one side has no companions and joins lexically
+        # (URIs carry no metadata; the residual URI-vs-same-lexical-
+        # literal case remains lexical, as before r5).
         pat_vars = []
         for idx in range(len(patterns)):
             if idx in closure_frames:

@@ -218,6 +218,9 @@ def decode_media_batch_real(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
     import numpy as np
 
+    if HAVE_PIL:
+        from PIL import Image  # once per batch-iterator, not per row
+
     for pdf in it:
         rows = {k: [] for k in ("media_ref", "kind", "n_bytes", "width", "height", "hist", "feature")}
         for ref, kind, content in zip(pdf["media_ref"], pdf["kind"], pdf["content"]):
@@ -225,8 +228,6 @@ def decode_media_batch_real(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             w = h = hist = None
             if HAVE_PIL:
                 try:
-                    from PIL import Image
-
                     img = Image.open(io.BytesIO(c))
                     w, h = img.size
                     px = np.asarray(img.convert("L"), dtype=np.int64).ravel()

@@ -1139,12 +1139,15 @@ def _q_all_vars(q: Query) -> set:
 
 def _q_certain_vars(q: Query) -> set:
     """Variables bound in EVERY solution of the group (recursive
-    under-approximation): pattern vars, BIND targets, VALUES vars with
-    no UNDEF cell, vars certain in every UNION branch, GRAPH bodies'
-    certain vars, and subquery projections minus what the subquery can
-    itself leave unbound.  OPTIONAL/MINUS/EXISTS guarantee nothing."""
+    under-approximation): pattern vars, VALUES vars with no UNDEF
+    cell, vars certain in every UNION branch, GRAPH bodies' certain
+    vars, and subquery projections minus what the subquery can itself
+    leave unbound.  OPTIONAL/MINUS/EXISTS guarantee nothing — and
+    neither do BIND targets: BIND(?r AS ?y) from a maybe-unbound ?r
+    (or any NULL/error-producing expression) yields an unbound ?y, so
+    counting it certain would give downstream joins null-rejecting
+    equality and silently drop compatible solutions."""
     vs = _pattern_vars(q.patterns)
-    vs |= {b[1] for b in q.binds}
     for vars_, rows in q.values_clauses:
         vs |= {v for i, v in enumerate(vars_) if all(r[i] is not None for r in rows)}
     if q.union:
@@ -1263,22 +1266,31 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
     # OPTIONAL groups: recursive body (nested OPTIONAL/UNION/BIND/...
     # evaluate inside first); the group's TOP-LEVEL filters form the
     # LeftJoin condition; a later group can adopt an earlier group's
-    # binding (maybe_unbound chaining)
-    for oq in q.optional:
-        rdf, sub_maybe = _eval_where(graph, oq, bgp_fn, skip_filters=True)
-        if rdf is None:
-            continue
-        if df is None:
-            df = _unit_frame(graph)
-        shared_bound = {
-            c for c in df.columns if c in rdf.columns and not _is_companion(c)
-        } - maybe_unbound
-        df = optional_join(
-            df, rdf, oq.filters, maybe_unbound=maybe_unbound, right_maybe=sub_maybe
-        )
-        maybe_unbound |= {
-            c for c in rdf.columns if not _is_companion(c)
-        } - shared_bound
+    # binding (maybe_unbound chaining).  When the group has NO pattern/
+    # union basis, applying OPTIONALs against the unit frame and then
+    # inner-joining the subqueries/GRAPHs would drop or multiply
+    # solutions — defer them until after those joins instead (the same
+    # deferral previous rounds kept via optionals_consumed).
+    def _apply_optionals(df, mu):
+        for oq in q.optional:
+            rdf, sub_maybe = _eval_where(graph, oq, bgp_fn, skip_filters=True)
+            if rdf is None:
+                continue
+            shared_bound = {
+                c for c in df.columns if c in rdf.columns and not _is_companion(c)
+            } - mu
+            df = optional_join(
+                df, rdf, oq.filters, maybe_unbound=mu, right_maybe=sub_maybe
+            )
+            mu = mu | (
+                {c for c in rdf.columns if not _is_companion(c)} - shared_bound
+            )
+        return df, mu
+
+    optionals_done = not q.optional
+    if df is not None and not optionals_done:
+        df, maybe_unbound = _apply_optionals(df, maybe_unbound)
+        optionals_done = True
 
     # subqueries evaluate independently, join on shared variables;
     # vars the subquery can leave NULL join — and propagate — as
@@ -1368,6 +1380,14 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
                     else df.crossJoin(gdf)
                 )
                 maybe_unbound |= g_maybe
+
+    if not optionals_done:
+        # dangling OPTIONALs: the solution so far came from subqueries
+        # or GRAPH groups (or the unit solution) — left-join each group
+        # NOW, with the same maybe-unbound chaining as the main path
+        if df is None:
+            df = _unit_frame(graph)
+        df, maybe_unbound = _apply_optionals(df, maybe_unbound)
 
     if df is None and (q.values_clauses or q.binds or q.filters or q.exists):
         df = _unit_frame(graph)
