@@ -577,3 +577,36 @@ def test_bind_of_maybe_unbound_var_propagates(graph):
     bound_region = [r for r in rows if r["nm"] == "ASIA"]
     assert len(bound_region) >= 5
     assert len(rows) > 5  # the unbound rows survived (pre-fix: exactly 5)
+
+
+def test_property_path_inside_optional(graph):
+    """A p+/p* property path nested in an OPTIONAL body evaluates its
+    closure inside the group."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?x WHERE {{
+          ?n a ex:Nation .
+          OPTIONAL {{ ?n ex:inRegion+ ?x }}
+        }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 25 and all(r["x"] is not None for r in rows)
+    assert all("region" in r["x"] for r in rows)
+
+
+def test_construct_over_nested_optional(graph):
+    """CONSTRUCT over a WHERE with nested OPTIONALs: unbound template
+    vars emit no triple (the non-ASIA branch), bound ones do."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?n ex:regionLabel ?rn }} WHERE {{
+          ?n a ex:Nation .
+          OPTIONAL {{ ?n ex:inRegion ?r
+                      OPTIONAL {{ ?r ex:name ?rn . FILTER(?rn = "ASIA") }} }}
+        }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 5  # only the ASIA nations emit the triple
+    assert all(r["obj"] == "ASIA" and r["is_literal"] for r in rows)
