@@ -1173,6 +1173,31 @@ def _query_maybe_unbound(q: Query) -> set:
     return _q_all_vars(q) - _q_certain_vars(q)
 
 
+def _null_out_of_scope(expr: str, frame_cols, known_vars) -> str:
+    """SPARQL filter scope: a variable that is not bound in the group
+    the filter appears in is UNBOUND — the reference evaluates it as
+    an error → false — even when an outer group binds it.  Rewrite
+    references to KNOWN query variables that the filter's frame does
+    not carry into NULL (and their companions into the untyped
+    defaults), so the expression evaluates with unbound semantics
+    instead of failing Catalyst resolution.  Tokens followed by '('
+    are function calls, never variables; string constants are
+    masked."""
+    from ont_d2rq_spark.graph import _comp_default, _mask_strings, _unmask_strings
+
+    masked, parts = _mask_strings(expr)
+    cols = set(frame_cols)
+    for v in known_vars:
+        if v in cols:
+            continue
+        for suf in ("__dt", "__lang", "__islit"):
+            tok = f"{v}{suf}"
+            if tok not in cols:
+                masked = re.sub(rf"\b{tok}\b(?!\s*\()", _comp_default(tok), masked)
+        masked = re.sub(rf"\b{re.escape(v)}\b(?!\s*\()", "CAST(NULL AS STRING)", masked)
+    return _unmask_strings(masked, parts)
+
+
 def _unit_frame(graph) -> DataFrame:
     """The unit solution (one row, no bindings) — SPARQL's Join
     identity; what an empty group evaluates to."""
@@ -1194,7 +1219,7 @@ def _where_content(q: Query) -> bool:
     )
 
 
-def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
+def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=None):
     """Evaluate the WHERE-clause content of ``q`` -> (bindings frame or
     None, maybe-unbound variable set).  RECURSIVE: OPTIONAL / UNION /
     MINUS / FILTER-EXISTS / GRAPH bodies are full Query groups that
@@ -1218,14 +1243,17 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
     OPTIONAL, subqueries, GRAPH, VALUES, BIND, FILTER, FILTER EXISTS,
     MINUS.  EXISTS bodies are correlated through their top-level
     filters (folded into the semi/anti-join condition over the merged
-    row); a FILTER nested deeper that references an outer-group-only
-    variable fails Catalyst resolution — loud, not silent."""
+    row); everywhere else a filter referencing a variable outside its
+    group's scope evaluates it as UNBOUND (_null_out_of_scope), the
+    SPARQL bottom-up scope rule."""
     from functools import reduce as _reduce
 
     from ont_d2rq_spark.graph import _is_companion, optional_join
 
     if bgp_fn is None:
         bgp_fn = graph.bgp
+    if known_vars is None:
+        known_vars = _q_all_vars(q)
     maybe_unbound: set = set()
     df = bgp_fn(q.patterns) if q.patterns else None
 
@@ -1234,7 +1262,7 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
     if q.union:
         parts, part_maybes = [], []
         for branch in q.union:
-            b, bm = _eval_where(graph, branch, bgp_fn)
+            b, bm = _eval_where(graph, branch, bgp_fn, known_vars=known_vars)
             parts.append(b if b is not None else _unit_frame(graph))
             part_maybes.append(bm)
         u = _reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
@@ -1273,14 +1301,20 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
     # deferral previous rounds kept via optionals_consumed).
     def _apply_optionals(df, mu):
         for oq in q.optional:
-            rdf, sub_maybe = _eval_where(graph, oq, bgp_fn, skip_filters=True)
+            rdf, sub_maybe = _eval_where(graph, oq, bgp_fn, skip_filters=True, known_vars=known_vars)
             if rdf is None:
                 continue
             shared_bound = {
                 c for c in df.columns if c in rdf.columns and not _is_companion(c)
             } - mu
+            filts = [
+                _null_out_of_scope(
+                    f, set(df.columns) | set(rdf.columns), known_vars
+                )
+                for f in oq.filters
+            ]
             df = optional_join(
-                df, rdf, oq.filters, maybe_unbound=mu, right_maybe=sub_maybe
+                df, rdf, filts, maybe_unbound=mu, right_maybe=sub_maybe
             )
             mu = mu | (
                 {c for c in rdf.columns if not _is_companion(c)} - shared_bound
@@ -1296,7 +1330,7 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
     # vars the subquery can leave NULL join — and propagate — as
     # maybe-unbound on the RIGHT side
     for sub in q.subqueries:
-        sdf = _execute_query(graph, sub, bgp_fn)
+        sdf = _execute_query(graph, sub, bgp_fn, known_vars | _q_all_vars(sub))
         sub_maybe = _query_maybe_unbound(sub) & set(sdf.columns)
         if df is None:
             df = sdf
@@ -1330,7 +1364,7 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
                 def _scoped(pats, _iri=iri):
                     return graph.graph_scoped_bgp(_iri, pats)
 
-                gb, gm = _eval_where(graph, gq, _scoped)
+                gb, gm = _eval_where(graph, gq, _scoped, known_vars=known_vars)
                 parts2.append(
                     (gb if gb is not None else _unit_frame(graph)).withColumn(
                         _vn(gterm), F.lit(iri)
@@ -1348,7 +1382,7 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
             def _scoped(pats, _iri=str(gterm)):
                 return graph.graph_scoped_bgp(_iri, pats)
 
-            gdf, g_maybe = _eval_where(graph, gq, _scoped)
+            gdf, g_maybe = _eval_where(graph, gq, _scoped, known_vars=known_vars)
             if gdf is None:
                 gdf = _unit_frame(graph)
         if df is None:
@@ -1455,6 +1489,7 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
             )
     if not skip_filters:
         for f in q.filters:
+            f = _null_out_of_scope(f, df.columns, known_vars)
             df = _ensure_companions(df, f)
             df = df.filter(F.expr(f))
     # FILTER [NOT] EXISTS: semi/anti join on shared variables; with no
@@ -1467,10 +1502,13 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
     # filter referencing an OUTER variable sees the outer row's
     # binding (deeper-nested filters stay group-local).
     for neg, eq in q.exists:
-        sub, sub_maybe = _eval_where(graph, eq, bgp_fn, skip_filters=True)
-        efilts = list(eq.filters)
+        sub, sub_maybe = _eval_where(graph, eq, bgp_fn, skip_filters=True, known_vars=known_vars)
         if sub is None:
             sub = _unit_frame(graph)
+        efilts = [
+            _null_out_of_scope(f, set(df.columns) | set(sub.columns), known_vars)
+            for f in eq.filters
+        ]
         shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
         how = "left_anti" if neg else "left_semi"
         compat = [c for c in shared if c in maybe_unbound or c in sub_maybe]
@@ -1533,7 +1571,7 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
     # per SPARQL MINUS semantics on disjoint domains); removal requires
     # a compatible solution AND dom(mu1) int dom(mu2) != empty
     for mq in q.minus:
-        sub, sub_maybe = _eval_where(graph, mq, bgp_fn)
+        sub, sub_maybe = _eval_where(graph, mq, bgp_fn, known_vars=known_vars)
         if sub is None:
             continue
         shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]
@@ -1559,12 +1597,12 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False):
     return df, maybe_unbound
 
 
-def _execute_query(graph, q: Query, bgp_fn=None) -> DataFrame:
+def _execute_query(graph, q: Query, bgp_fn=None, known_vars=None) -> DataFrame:
     from ont_d2rq_spark.graph import _is_companion
 
     if q.form == "DESCRIBE" and not _where_content(q):
         return _describe_frame(graph, None, q.describe)
-    df, _maybe = _eval_where(graph, q, bgp_fn)
+    df, _maybe = _eval_where(graph, q, bgp_fn, known_vars=known_vars)
     if df is None:  # empty group = one empty solution (SPARQL algebra)
         df = _unit_frame(graph)
 

@@ -610,3 +610,42 @@ def test_construct_over_nested_optional(graph):
     rows = df.collect()
     assert len(rows) == 5  # only the ASIA nations emit the triple
     assert all(r["obj"] == "ASIA" and r["is_literal"] for r in rows)
+
+
+def test_filter_on_out_of_scope_var_is_unbound(graph):
+    """SPARQL filter scope: a variable bound only in an OUTER group is
+    UNBOUND inside a nested group's filter (error → false / un-binds),
+    not a resolution failure and not the outer binding."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?rn WHERE {{
+          ?n a ex:Nation . ?n ex:name ?name .
+          OPTIONAL {{ ?n ex:inRegion ?r
+                      OPTIONAL {{ ?r ex:name ?rn . FILTER(?name != "x") }} }}
+        }}""",
+    )
+    rows = df.collect()
+    # ?name is out of scope in the inner group → the inner filter is
+    # (NULL != 'x') = unknown → the inner optional part un-binds
+    assert len(rows) == 25
+    assert all(r["rn"] is None for r in rows)
+
+
+def test_filter_bound_of_out_of_scope_var(graph):
+    """bound(?outer) inside a nested group is false (the var is not in
+    the group's scope), so a FILTER(bound(?name)) gate un-binds the
+    whole inner part."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?r WHERE {{
+          ?n a ex:Nation . ?n ex:name ?name .
+          OPTIONAL {{ ?n ex:inRegion ?r . FILTER(bound(?name)) }}
+        }}""",
+    )
+    rows = df.collect()
+    # NOTE: the OPTIONAL's top-level filter evaluates over the MERGED
+    # row (LeftJoin condition) where ?name IS in scope — SPARQL
+    # leftjoin expr semantics — so the filter passes and ?r stays bound
+    assert len(rows) == 25 and all(r["r"] is not None for r in rows)
