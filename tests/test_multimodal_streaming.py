@@ -318,3 +318,77 @@ def test_decode_media_real_kernel_without_pil(spark):
 def test_png_decode_rejects_garbage():
     assert MM._png_decode(b"not-a-png") is None
     assert MM._png_decode(b"\x89PNG\r\n\x1a\ntruncated") is None
+
+
+def test_png_decode_roundtrip_property():
+    """Property test (hypothesis): any 8-bit image round-trips through
+    the test encoder (random per-row filter types, random pixels,
+    gray or RGB) and _png_decode reconstructs the exact pixels."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        color=st.sampled_from([0, 2]),
+        data=st.data(),
+    )
+    def prop(w, h, color, data):
+        ch = 1 if color == 0 else 3
+        px = np.array(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+                )
+            ),
+            dtype=np.int64,
+        ).reshape(h, w * ch)
+        fts = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+        # encode with the chosen filter per scanline
+        lines = []
+        prev = np.zeros(w * ch, dtype=np.int64)
+        for y in range(h):
+            cur, f = px[y], fts[y]
+            if f == 0:
+                enc = cur.copy()
+            elif f == 1:
+                left = np.concatenate((np.zeros(ch, dtype=np.int64), cur[:-ch]))
+                enc = (cur - left) % 256
+            elif f == 2:
+                enc = (cur - prev) % 256
+            elif f == 3:
+                enc = np.array(
+                    [
+                        (cur[x] - ((int(cur[x - ch]) if x >= ch else 0) + int(prev[x])) // 2) % 256
+                        for x in range(w * ch)
+                    ]
+                )
+            else:
+                enc = []
+                for x in range(w * ch):
+                    a = int(cur[x - ch]) if x >= ch else 0
+                    b, c = int(prev[x]), (int(prev[x - ch]) if x >= ch else 0)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc.append((cur[x] - pr) % 256)
+                enc = np.array(enc)
+            lines.append((f, list(np.asarray(enc) % 256)))
+            prev = cur
+        png = _mk_png(w, h, lines, color_type=color)
+        got = MM._png_decode(png)
+        assert got is not None
+        gw, gh, gray = got
+        assert (gw, gh) == (w, h)
+        if color == 0:
+            expect = px.reshape(-1)
+        else:
+            rgb = px.reshape(h, w, 3)
+            expect = (
+                (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+            ).reshape(-1)
+        assert list(gray) == list(expect)
+
+    prop()
