@@ -49,7 +49,10 @@ here the residual ops are native DataFrame ops):
 Aggregates: COUNT(*) / COUNT(?v) / COUNT(DISTINCT ?v) / SUM / AVG /
 MIN / MAX (SUM/AVG cast the lexical binding to double; MIN/MAX compare
 the lexical form) / GROUP_CONCAT([DISTINCT] ?v; SEPARATOR="s") /
-SAMPLE(?v).  GROUP_CONCAT sorts members before joining and SAMPLE
+SAMPLE(?v).  Aggregate arguments may be full EXPRESSIONS —
+SUM(?price * (1 - ?disc)), the TPC-H Q1 shape — evaluated as hidden
+BIND columns; arithmetic arguments cast var references to double
+(SPARQL numeric-value semantics over lexical bindings).  GROUP_CONCAT sorts members before joining and SAMPLE
 takes the minimum — SPARQL leaves both unspecified; this engine picks
 the deterministic representative so results are reproducible across
 partitionings (and replayable by the DuckDB oracle).  BINDs evaluate
@@ -57,7 +60,10 @@ before FILTERs within a group.
 
 Terms: <iri>, pfx:local, "literal" (@lang / ^^dt make the bound term a
 TYPED literal — datatype/lang must unify, TypedNodeMaker semantics),
-numbers, ?var / $var, and 'a' for rdf:type.
+numbers, ?var / $var, 'a' for rdf:type, and blank-node property lists
+`[ p1 o1 ; p2 o2 ]` / `[]` in subject or object position (expanded to
+non-distinguished `?__bn…` variables, excluded from SELECT *).
+`# line comments` are skipped by the tokenizer.
 
 Property paths (predicate position): ^p inverse, p1/p2 sequence
 (rewritten through fresh join variables), p1|p2 alternation (union of
@@ -224,7 +230,8 @@ _TOK = re.compile(
   | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.%-]*)
   | (?P<kw>[A-Za-z_]\w*)
   | (?P<op>>=|<=|!=|&&|\|\||[=<>+\-/!%^|?])
-  | (?P<punct>[{}().;,*])
+  | (?P<punct>[{}()\[\].;,*])
+  | (?P<comment>\#[^\n]*)
   | (?P<ws>\s+)
 """,
     re.VERBOSE,
@@ -282,11 +289,14 @@ class _P:
             if not m:
                 raise SparqlError(f"cannot tokenize at {text[pos:pos+30]!r}")
             pos = m.end()
-            if m.lastgroup != "ws":
+            if m.lastgroup not in ("ws", "comment"):
                 self.toks.append(m)
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._fresh_n = 0
+        # hidden BIND columns synthesized for aggregate EXPRESSION
+        # arguments; attached to the query whose SELECT produced them
+        self._agg_binds: list[tuple] = []
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -384,6 +394,8 @@ class _P:
         self.expect("{")
         self._group(q.patterns, q)
         self._modifiers(q)
+        q.binds.extend(self._agg_binds)
+        del self._agg_binds[:]
         return q
 
     def _select_clause(self, q: Query):
@@ -536,12 +548,15 @@ class _P:
                     # evaluated independently, joined on shared variables
                     self.next()
                     sub = Query(form="SELECT")
+                    before = len(self._agg_binds)
                     self._select_clause(sub)
                     self.kw("WHERE")
                     self.expect("{")
                     self._group(sub.patterns, sub)
                     self._modifiers(sub)
                     self.expect("}")
+                    sub.binds.extend(self._agg_binds[before:])
+                    del self._agg_binds[before:]
                     q.subqueries.append(sub)
                     continue
                 # group — the { A } UNION { B } [UNION { C }] form.
@@ -616,20 +631,69 @@ class _P:
                 continue
             if g.upper() == "SERVICE":
                 raise SparqlError("SERVICE not supported (no network)")
-            s = self.term()
+            s = self._term_or_bnode(patterns)
+            # a bracketed subject may stand alone as a whole triple
+            # block: `[ a ex:Nation ; ex:p ?o ] .` (SPARQL grammar:
+            # TriplesSameSubject → BlankNodePropertyList PropertyList?)
+            nxt_t = self.peek()
+            if (
+                isinstance(s, str)
+                and s.startswith("?__bn")
+                and (nxt_t is None or nxt_t.group(0) in (".", "}"))
+            ):
+                continue
             alts = self._path()
-            patterns.extend(self._expand_path(s, alts, self.term()))
+            patterns.extend(self._expand_path(s, alts, self._term_or_bnode(patterns)))
             # object lists: s p o1 , o2
             while self.peek() is not None and self.peek().group(0) == ",":
                 self.next()
-                patterns.extend(self._expand_path(s, alts, self.term()))
+                patterns.extend(
+                    self._expand_path(s, alts, self._term_or_bnode(patterns))
+                )
             # predicate lists: s p1 o1 ; p2 o2
             while self.peek() is not None and self.peek().group(0) == ";":
                 self.next()
                 if self.peek() is not None and self.peek().group(0) in (".", "}"):
                     break
                 alts2 = self._path()
-                patterns.extend(self._expand_path(s, alts2, self.term()))
+                patterns.extend(
+                    self._expand_path(s, alts2, self._term_or_bnode(patterns))
+                )
+
+    def _term_or_bnode(self, patterns: list):
+        """A term, or a blank-node property list `[ p1 o1 ; p2 o2 ]`
+        (anonymous `[]` allowed) — SPARQL's bracketed bnode syntax.  A
+        query bnode is a NON-DISTINGUISHED variable: expand to a fresh
+        `?__bn…` (the `__` prefix keeps it out of SELECT *) and append
+        the bracketed triples to the current group; nested brackets
+        recurse."""
+        t = self.peek()
+        if t is None or t.group(0) != "[":
+            return self.term()
+        self.next()
+        self._fresh_n += 1
+        var = f"?__bn{self._fresh_n}"
+        if self.peek() is not None and self.peek().group(0) == "]":
+            self.next()
+            return var
+        while True:
+            alts = self._path()
+            patterns.extend(
+                self._expand_path(var, alts, self._term_or_bnode(patterns))
+            )
+            while self.peek() is not None and self.peek().group(0) == ",":
+                self.next()
+                patterns.extend(
+                    self._expand_path(var, alts, self._term_or_bnode(patterns))
+                )
+            if self.peek() is not None and self.peek().group(0) == ";":
+                self.next()
+                if self.peek() is not None and self.peek().group(0) == "]":
+                    break
+                continue
+            break
+        self.expect("]")
+        return var
 
     def _template(self, q: Query):
         """CONSTRUCT template: plain s/p/o triples, '.'-separated."""
@@ -801,16 +865,60 @@ class _P:
             fn = self.next().group(0).upper()
             self.expect("(")
             distinct = bool(self.kw("DISTINCT"))
-            a = self.next()
-            if a.group(0) == "*":
+            t0 = self.peek()
+            nxt0 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+            if t0 is not None and t0.group(0) == "*":
+                self.next()
                 arg = "*"
                 if distinct or fn != "COUNT":
                     raise SparqlError(f"{fn}(*) only as COUNT(*)")
-            elif a.lastgroup == "var":
-                arg = a.group(0)[1:]
+            elif (
+                t0 is not None
+                and t0.lastgroup == "var"
+                and nxt0 is not None
+                and nxt0.group(0) in (")", ";")
+            ):
+                self.next()
+                arg = t0.group(0)[1:]
             else:
-                raise SparqlError(f"aggregate arg must be ?var or *, got {a.group(0)!r}"
-                                  " (BIND the expression first)")
+                # expression argument — SUM(?price * (1 - ?disc)), the
+                # TPC-H Q1 shape: capture to the aggregate's close (or
+                # the GROUP_CONCAT ';'), evaluate as a hidden BIND
+                # column (`__aggx…`, excluded from SELECT *), aggregate
+                # over that.  SPARQL numeric operators act on the
+                # literal's NUMERIC VALUE, but bindings are lexical
+                # strings (and Spark ANSI coerces string⊗int to BIGINT,
+                # which rejects decimals) — when the expression uses
+                # arithmetic, var references cast to double.
+                parts: list[tuple[str, bool]] = []
+                depth = 0
+                has_arith = False
+                while True:
+                    t = self.peek()
+                    if t is None:
+                        raise SparqlError(f"unterminated {fn}(...)")
+                    g = t.group(0)
+                    if g == "(":
+                        depth += 1
+                    elif g == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif g == ";" and depth == 0:
+                        break
+                    if g in ("+", "-", "*", "/"):
+                        has_arith = True
+                    self.next()
+                    parts.append((self._expr_token(t), t.lastgroup == "var"))
+                if not parts:
+                    raise SparqlError(f"empty aggregate argument in {fn}()")
+                expr = " ".join(
+                    f"CAST({txt} AS DOUBLE)" if (has_arith and is_v) else txt
+                    for txt, is_v in parts
+                )
+                self._fresh_n += 1
+                arg = f"__aggx{self._fresh_n}"
+                self._agg_binds.append((_rewrite_builtins(expr), arg, None))
             sep = None
             if self.peek() is not None and self.peek().group(0) == ";":
                 if fn != "GROUP_CONCAT":

@@ -649,3 +649,83 @@ def test_filter_bound_of_out_of_scope_var(graph):
     # row (LeftJoin condition) where ?name IS in scope — SPARQL
     # leftjoin expr semantics — so the filter passes and ?r stays bound
     assert len(rows) == 25 and all(r["r"] is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# r5 surface additions: comments, bnode property lists, aggregate exprs
+# ---------------------------------------------------------------------------
+
+
+def test_comments_in_query(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        # count the nations
+        SELECT (COUNT(?n) AS ?c) WHERE {{
+          ?n a ex:Nation .   # type pattern
+        }}""",
+    )
+    assert df.collect()[0]["c"] == 25
+
+
+def test_bnode_property_list(graph):
+    """[ a ex:Nation ; ex:inRegion ?r ] — the bracketed bnode is a
+    non-distinguished variable; standalone-subject form and
+    object-position form both evaluate."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT DISTINCT ?r WHERE {{ [ a ex:Nation ; ex:inRegion ?r ] . }}""",
+    )
+    assert df.count() == 5  # the five regions
+    df2 = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{ ?n a ex:Nation ; ex:inRegion [ ex:name "ASIA" ] . }}""",
+    )
+    assert df2.count() == 5  # nations in the ASIA region
+    # SELECT * must not expose the synthetic bnode var
+    df3 = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT * WHERE {{ [ a ex:Nation ; ex:inRegion ?r ] . }}""",
+    )
+    assert df3.columns == ["r"]
+
+
+def test_aggregate_expression_argument(graph):
+    """SUM over an expression (the TPC-H Q1 SPARQL shape) equals the
+    algebraically equivalent scaled plain-var SUM."""
+    a = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n (SUM(?b * 2) AS ?s) WHERE {{
+          ?c ex:inNation ?n . ?c ex:acctbal ?b
+        }} GROUP BY ?n""",
+    ).collect()
+    b = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n (SUM(?b) AS ?s) WHERE {{
+          ?c ex:inNation ?n . ?c ex:acctbal ?b
+        }} GROUP BY ?n""",
+    ).collect()
+    sa = {r["n"]: r["s"] for r in a}
+    sb = {r["n"]: r["s"] for r in b}
+    assert set(sa) == set(sb) and len(sa) > 0
+    for n in sa:
+        assert abs(sa[n] - 2 * sb[n]) < 1e-6 * max(1.0, abs(sa[n]))
+
+
+def test_aggregate_expression_with_builtin(graph):
+    """Aggregate-arg expressions pass through the builtin rewriter
+    (STRLEN etc.)."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT (SUM(STRLEN(?nm)) AS ?tot) (COUNT(?nm) AS ?c) WHERE {{
+          ?r a ex:Region . ?r ex:name ?nm
+        }}""",
+    )
+    row = df.collect()[0]
+    assert row["c"] == 5 and row["tot"] > 0
