@@ -376,6 +376,33 @@ class _P:
             raise SparqlError("only SELECT / ASK / CONSTRUCT / DESCRIBE supported")
         q = Query(form=form)
         if form == "CONSTRUCT":
+            nxt = self.peek()
+            if nxt is not None and nxt.group(0).upper() == "WHERE":
+                # CONSTRUCT WHERE { tp … } shorthand: the WHERE pattern
+                # doubles as the template (plain triple patterns only —
+                # paths/brackets have no template form, per the spec)
+                self.next()
+                self.expect("{")
+                self._group(q.patterns, q)
+                for s, p, o in q.patterns:
+                    if not isinstance(p, str):
+                        raise SparqlError(
+                            "CONSTRUCT WHERE shorthand allows plain triple "
+                            "patterns only (no property paths)"
+                        )
+                if _where_content(q) and (
+                    q.filters or q.optional or q.union or q.binds
+                    or q.values_clauses or q.minus or q.exists or q.graphs
+                    or q.subqueries
+                ):
+                    raise SparqlError(
+                        "CONSTRUCT WHERE shorthand allows triple patterns only"
+                    )
+                q.template = list(q.patterns)
+                self._modifiers(q)
+                if self.kw("VALUES"):
+                    q.values_clauses.append(self._values_clause())
+                return q
             self.expect("{")
             self._template(q)
         if form == "DESCRIBE":
@@ -394,6 +421,10 @@ class _P:
         self.expect("{")
         self._group(q.patterns, q)
         self._modifiers(q)
+        # trailing VALUES block (SPARQL ValuesClause: after the solution
+        # modifiers, applies to the whole query)
+        if self.kw("VALUES"):
+            q.values_clauses.append(self._values_clause())
         q.binds.extend(self._agg_binds)
         del self._agg_binds[:]
         return q

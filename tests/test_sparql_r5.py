@@ -729,3 +729,43 @@ def test_aggregate_expression_with_builtin(graph):
     )
     row = df.collect()[0]
     assert row["c"] == 5 and row["tot"] > 0
+
+
+def test_construct_where_shorthand(graph):
+    """CONSTRUCT WHERE { tp } — the pattern doubles as the template."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT WHERE {{ ?n ex:inRegion ?r }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 25
+    assert all(r["pred"] == EX + "inRegion" for r in rows)
+
+
+def test_trailing_values_clause(graph):
+    """Query-level VALUES after the modifiers joins the solutions."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?rn WHERE {{
+          ?n ex:inRegion ?r . ?r ex:name ?rn
+        }}
+        VALUES ?rn {{ "ASIA" "AFRICA" }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 10
+    assert {r["rn"] for r in rows} == {"ASIA", "AFRICA"}
+
+
+def test_filter_in_operator(graph):
+    """FILTER(?x IN (<a>, <b>)) passes through to Catalyst."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?n ex:inRegion ?r .
+          FILTER(?r IN (<{EX}region/1>, <{EX}region/2>))
+        }}""",
+    )
+    assert df.count() == 10
