@@ -413,13 +413,46 @@ class MappingCompiler:
                 j.left.split(".")[0] if j.direction == "<=" else None
             )
             other = self.table(cb.aliases.get(new_alias, new_alias)).alias(new_alias)
-            if self.use_broadcast_hints and referenced_side == new_alias:
+            if (
+                self.use_broadcast_hints
+                and referenced_side == new_alias
+                and self._broadcastable(cb.aliases.get(new_alias, new_alias))
+            ):
                 other = F.broadcast(other)
             df = df.join(other, F.col(j.left) == F.col(j.right), "inner")
             in_plan.add(new_alias)
         for cond in cb.conditions:
             df = df.filter(F.expr(cond))
         return df
+
+    # FK-broadcast size guard: the d2rq:join direction hint broadcasts
+    # the REFERENCED side on the assumption it is a dimension, but a
+    # fact-sized referenced table (measured: ×128-inflated customers,
+    # ~1.9M keys) turns that into a multi-second SERIAL broadcast
+    # build per join — the exact anti-pattern at 1000 executors.  The
+    # hint only fires when the source's on-disk bytes are known and
+    # under this cap; otherwise Catalyst/AQE picks the strategy from
+    # its own stats (it still broadcasts genuinely small sides).
+    FK_BROADCAST_CAP_BYTES = 32 << 20  # 32 MiB on disk
+
+    def _broadcastable(self, table_name: str) -> bool:
+        if table_name in self.extra_tables:
+            return False  # injected frames carry no size info
+        try:
+            import os
+
+            path = self.mapping.database.path_for(table_name)
+            if os.path.isdir(path):
+                total = sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if not f.startswith((".", "_"))
+                )
+            else:
+                total = os.path.getsize(path)
+        except OSError:
+            return False
+        return total <= self.FK_BROADCAST_CAP_BYTES
 
     # Above this many entries a translation table joins as a broadcast
     # dict-DataFrame instead of a plan-embedded map literal (a 10M-entry
@@ -708,7 +741,9 @@ class MappingCompiler:
             df = self.table(base_table).alias(base_alias)
             for tgt, (left, right) in join_env.items():
                 other = self.table(alias_map.get(tgt, tgt)).alias(tgt)
-                if self.use_broadcast_hints:
+                if self.use_broadcast_hints and self._broadcastable(
+                    alias_map.get(tgt, tgt)
+                ):
                     other = F.broadcast(other)
                 df = df.join(other, F.col(left) == F.col(right), "left")
             # conditions every fused bridge shares (e.g. the ClassMap-level

@@ -179,3 +179,34 @@ def test_whole_stage_codegen_covers_mint(graph):
     # '*'-prefixed operators = inside a WholeStageCodegen span; the mint
     # projection must be codegen'd (JVM-side, no Python)
     assert re.search(r"\* Project", p) and "codegen id" in p
+
+
+def test_fk_hint_size_guarded(spark):
+    """r5: the FK-direction broadcast hint is size-guarded — a
+    referenced table over the on-disk cap gets NO forced broadcast
+    (measured: a ×128-inflated 'dimension' made the hint a
+    multi-second serial broadcast build; Catalyst/AQE must decide from
+    its own stats instead)."""
+    from ont_d2rq_spark.compiler.relation import MappingCompiler
+    from ont_d2rq_spark.examples import tpch_mapping
+    from ont_d2rq_spark.graph import VirtualGraph
+
+    old = MappingCompiler.FK_BROADCAST_CAP_BYTES
+    MappingCompiler.FK_BROADCAST_CAP_BYTES = 0  # everything "too big"
+    try:
+        g = VirtualGraph(tpch_mapping(SF), spark, use_broadcast_hints=True)
+        cb = next(b for b in g.bridges if b.name == "customer.nation")
+        lp = (
+            g.compiler.bridge_df(cb)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "ResolvedHint" not in lp  # hint suppressed over the cap
+    finally:
+        MappingCompiler.FK_BROADCAST_CAP_BYTES = old
+    # under the real cap the sf0.001 dimension still hints (see
+    # test_fk_hint_broadcasts_dimension for the physical-plan shape)
+    g2 = VirtualGraph(tpch_mapping(SF), spark, use_broadcast_hints=True)
+    cb2 = next(b for b in g2.bridges if b.name == "customer.nation")
+    assert "BroadcastHashJoin" in plan(g2.compiler.bridge_df(cb2))

@@ -96,8 +96,8 @@ def build_input(spark):
     )
 
 
-def build_tpch_input(spark):
-    """×64 tpch subset for the SPARQL soak: customer and orders inflate
+def build_tpch_input(spark, k: int = K, dest: str = SOAK_TPCH):
+    """×k tpch subset for the SPARQL soak: customer and orders inflate
     with key-shifted PKs/FKs (each replica a consistent foreign-key
     world over the SAME small nation/region dims — the realistic shape:
     facts grow, dims don't); the other mapped tables copy as-is so the
@@ -109,7 +109,7 @@ def build_tpch_input(spark):
 
     for t in ("region", "nation", "supplier", "part", "lineitem"):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{SOAK_TPCH}/{t}.parquet"
+            f"{dest}/{t}.parquet"
         )
     cust = spark.read.parquet(f"{SRC}/customer.parquet")
     reduce(
@@ -119,9 +119,9 @@ def build_tpch_input(spark):
                 "c_custkey",
                 (F.col("c_custkey").cast("long") + F.lit(i * 1_000_000_000)),
             )
-            for i in range(K)
+            for i in range(k)
         ],
-    ).repartition(64).write.mode("overwrite").parquet(f"{SOAK_TPCH}/customer.parquet")
+    ).repartition(64).write.mode("overwrite").parquet(f"{dest}/customer.parquet")
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
     reduce(
         lambda a, b: a.unionByName(b),
@@ -134,9 +134,9 @@ def build_tpch_input(spark):
                     + F.lit(i * 1_000_000_000),
                 }
             )
-            for i in range(K)
+            for i in range(k)
         ],
-    ).repartition(64).write.mode("overwrite").parquet(f"{SOAK_TPCH}/orders.parquet")
+    ).repartition(64).write.mode("overwrite").parquet(f"{dest}/orders.parquet")
 
 
 # BGP join (9.6M orders ⋈ 960k customers on minted URIs) + property-path
