@@ -118,25 +118,48 @@ def main() -> None:
 
     # B4 evidence: consolidated scaling verdict (written by the
     # tools/bench_scaling*.py harnesses; see BENCH/BASELINE.md for the
-    # full protocol, raw walls, and box-ceiling measurements)
+    # full protocol, raw walls, and box-ceiling measurements).  The
+    # stdout line carries only the per-job efficiency numbers — the
+    # driver captures a bounded stdout tail, and r5's verbose scaling
+    # blob pushed the JSON line past that bound ("parsed": null, a
+    # truncated artifact that buried a fake 2x regression).  The full
+    # detail lives in BENCH/last_run.json + BENCH/scaling.json.
     scaling_file = Path(__file__).resolve().parent / "BENCH" / "scaling.json"
+    scaling_full = None
     if scaling_file.exists():
-        extras["scaling"] = json.loads(scaling_file.read_text())
+        scaling_full = json.loads(scaling_file.read_text())
+        compact = {"eff": scaling_full.get("eff"), "detail": "BENCH/scaling.json"}
+        supp = scaling_full.get("supplemental") or {}
+        if supp:
+            compact["supplemental_eff"] = {
+                k: v.get("eff") for k, v in supp.items() if isinstance(v, dict)
+            }
+        extras["scaling"] = compact
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "cpus": cpus,
-                **extras,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        **extras,
+    }
+    # Durable artifact with the FULL scaling detail (survives any stdout
+    # clipping); the printed line stays compact and is emitted last,
+    # after spark.stop(), so no executor/progress noise can follow it.
+    full = dict(result)
+    if scaling_full is not None:
+        full["scaling"] = scaling_full
+    out_dir = Path(__file__).resolve().parent / "BENCH"
+    out_dir.mkdir(exist_ok=True)
+    (out_dir / "last_run.json").write_text(json.dumps(full, indent=1) + "\n")
+
+    spark.stop()
+    line = json.dumps(result)
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
