@@ -804,13 +804,20 @@ class VirtualGraph:
         solution set."""
         if graph_iri == self.data_graph_iri:
             return self.bgp(patterns)
+        return bgp_over_triples(self.graph_triples(graph_iri), patterns)
+
+    def graph_triples(self, graph_iri: str) -> DataFrame:
+        """One named graph as a TRIPLE_SCHEMA frame (the SPARQL
+        FROM-clause merge path: a multi-graph default graph unions
+        these).  Unknown graph name → empty frame (SPARQL: a dataset
+        clause naming an absent graph contributes no triples)."""
+        if graph_iri == self.data_graph_iri:
+            return self.triples()
         if graph_iri == self.vocabulary_graph_iri:
             from ont_d2rq_spark.schema_graph import schema_triples
 
-            tdf = schema_triples(self.mapping, self.spark)
-        else:
-            tdf = self.spark.createDataFrame([], TRIPLE_SCHEMA)
-        return bgp_over_triples(tdf, patterns)
+            return schema_triples(self.mapping, self.spark)
+        return self.spark.createDataFrame([], TRIPLE_SCHEMA)
 
     # ------------------------------------------------------------------
     # node binding (reference: TripleRelation.selectTriple + NodeMaker

@@ -267,6 +267,11 @@ class Query:
     subqueries: list["Query"] = field(default_factory=list)
     graphs: list[tuple] = field(default_factory=list)  # (graph term, Query body)
     exists: list[tuple] = field(default_factory=list)  # (negated, Query body)
+    # dataset clauses (top-level queries only; subqueries cannot carry
+    # them per the grammar): FROM <g> graphs merge into the default
+    # graph, FROM NAMED <g> restricts what GRAPH can range over
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 class SparqlError(ValueError):
@@ -377,11 +382,13 @@ class _P:
         q = Query(form=form)
         if form == "CONSTRUCT":
             nxt = self.peek()
-            if nxt is not None and nxt.group(0).upper() == "WHERE":
+            if nxt is not None and nxt.group(0).upper() in ("WHERE", "FROM"):
                 # CONSTRUCT WHERE { tp … } shorthand: the WHERE pattern
                 # doubles as the template (plain triple patterns only —
-                # paths/brackets have no template form, per the spec)
-                self.next()
+                # paths/brackets have no template form, per the spec).
+                # Grammar: CONSTRUCT DatasetClause* WHERE GroupGraphPattern
+                self._dataset(q)
+                self.expect("WHERE")
                 self.expect("{")
                 self._group(q.patterns, q)
                 for s, p, o in q.patterns:
@@ -408,15 +415,21 @@ class _P:
         if form == "DESCRIBE":
             while True:
                 t = self.peek()
-                if t is None or t.group(0).upper() == "WHERE" or t.group(0) == "{":
+                if (
+                    t is None
+                    or t.group(0).upper() in ("WHERE", "FROM")
+                    or t.group(0) == "{"
+                ):
                     break
                 q.describe.append(self.term())
             if not q.describe:
                 raise SparqlError("DESCRIBE needs at least one node")
+            self._dataset(q)
             if self.peek() is None:  # DESCRIBE <iri> with no WHERE
                 return q
         if form == "SELECT":
             self._select_clause(q)
+        self._dataset(q)
         self.kw("WHERE")
         self.expect("{")
         self._group(q.patterns, q)
@@ -452,6 +465,19 @@ class _P:
                 q.variables.append(item[4] if item[0] == "agg" else item[-1])
                 continue
             break
+
+    def _dataset(self, q: Query):
+        """DatasetClause*: FROM <iri> | FROM NAMED <iri>.  The reference
+        inherits dataset handling from ARQ (engine/QueryEngineD2RQ.java
+        delegates query-level dataset construction); here the clauses
+        select/merge named graphs before evaluation (_DatasetGraph)."""
+        while self.kw("FROM"):
+            named = bool(self.kw("NAMED"))
+            t = self.peek()
+            if t is None or not (t.lastgroup == "iri" or t.group("local") is not None):
+                raise SparqlError("FROM needs an IRI")
+            iri = self.term()
+            (q.from_named if named else q.from_graphs).append(iri)
 
     def _modifiers(self, q: Query):
         """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET."""
@@ -1337,6 +1363,62 @@ def _null_out_of_scope(expr: str, frame_cols, known_vars) -> str:
     return _unmask_strings(masked, parts)
 
 
+class _DatasetGraph:
+    """FROM / FROM NAMED dataset view over a VirtualGraph (SPARQL
+    'Specifying RDF Datasets'): when a query carries dataset clauses,
+    the default graph is exactly the merge of the FROM graphs (empty if
+    none) and GRAPH may range only over the FROM NAMED graphs.  The
+    reference gets this behavior from ARQ's DatasetDescription handling
+    (engine/QueryEngineD2RQ.java delegation, public layout); here it is
+    a thin proxy the recursive evaluator sees in place of the graph.
+
+    Scale shape: a SINGLE FROM graph keeps that graph's native BGP path
+    (for the data graph that is the mapping-compiled relation algebra
+    with full source pushdown); only a multi-graph default merge falls
+    back to a unioned triple frame with set-dedup (RDF merge is a set
+    union), which is a full materialize — the rare case, priced
+    accordingly."""
+
+    def __init__(self, base, default_iris, named_iris):
+        self._base = base
+        self._default = list(dict.fromkeys(default_iris))
+        self._named = list(dict.fromkeys(named_iris))
+
+    def __getattr__(self, name):
+        return getattr(self._base, name)
+
+    def graph_names(self) -> list:
+        known = set(self._base.graph_names())
+        return [g for g in self._named if g in known]
+
+    def graph_scoped_bgp(self, graph_iri: str, patterns) -> DataFrame:
+        if graph_iri not in self._named:
+            # GRAPH <iri> outside the FROM NAMED set: empty solutions
+            from ont_d2rq_spark.graph import TRIPLE_SCHEMA, bgp_over_triples
+
+            return bgp_over_triples(
+                self._base.spark.createDataFrame([], TRIPLE_SCHEMA), patterns
+            )
+        return self._base.graph_scoped_bgp(graph_iri, patterns)
+
+    def bgp(self, patterns) -> DataFrame:
+        from functools import reduce as _reduce
+
+        from ont_d2rq_spark.graph import TRIPLE_SCHEMA, bgp_over_triples
+
+        if len(self._default) == 1:
+            return self._base.graph_scoped_bgp(self._default[0], patterns)
+        if not self._default:
+            return bgp_over_triples(
+                self._base.spark.createDataFrame([], TRIPLE_SCHEMA), patterns
+            )
+        tdf = _reduce(
+            DataFrame.unionByName,
+            [self._base.graph_triples(g) for g in self._default],
+        ).dropDuplicates()
+        return bgp_over_triples(tdf, patterns)
+
+
 def _unit_frame(graph) -> DataFrame:
     """The unit solution (one row, no bindings) — SPARQL's Join
     identity; what an empty group evaluates to."""
@@ -1739,6 +1821,10 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=Non
 def _execute_query(graph, q: Query, bgp_fn=None, known_vars=None) -> DataFrame:
     from ont_d2rq_spark.graph import _is_companion
 
+    if q.from_graphs or q.from_named:
+        # dataset clauses exist only on top-level queries (the grammar
+        # gives subqueries no DatasetClause), so this wraps exactly once
+        graph = _DatasetGraph(graph, q.from_graphs, q.from_named)
     if q.form == "DESCRIBE" and not _where_content(q):
         return _describe_frame(graph, None, q.describe)
     df, _maybe = _eval_where(graph, q, bgp_fn, known_vars=known_vars)
