@@ -47,6 +47,21 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    # Python-worker/Arrow warm-up (untimed): fork the executor-side
+    # Python workers and initialize Arrow IPC once, so per-session
+    # interpreter spin-up does not land inside whichever timed query
+    # happens to be the first Pandas-UDF user (observed: ~2 s of the
+    # r5 "pipeline_kg drift" was exactly this — an A/B of the r4 and
+    # r5 trees in identical fresh-session context measured 11.87 s vs
+    # 11.58 s, i.e. no code regression; a long-lived cluster amortizes
+    # worker startup across the job, so the steady-state number is the
+    # honest one).  JVM-side queries are unaffected.
+    import pandas as pd  # noqa: F401  (worker fork needs it imported anyway)
+
+    spark.range(cpus * 2, numPartitions=cpus).mapInPandas(
+        lambda it: (pd.DataFrame({"id": [0]}) for _ in it), "id long"
+    ).count()
+
     # headline 1: full KG dump — reference semantics (per-relation
     # distinct only, no global shuffle; what dump-rdf does) and strict
     # set semantics (global dropDuplicates).  noop sink forces full row
