@@ -1517,19 +1517,46 @@ class CachingGraph:
     jena/CachingGraph.java: repeated find(s,p,o) patterns return the
     persisted result (MEMORY_AND_DISK) instead of re-planning and
     re-scanning; the second call's physical plan reads an
-    InMemoryRelation.  LRU eviction at ``max_entries`` (the reference
-    uses a size budget; an entry count bounds executor memory the same
-    way since each entry is one persisted frame) — evicted entries are
-    unpersisted so cached blocks never outlive the budget.  Typed
-    lookups (o_datatype / o_lang) key separately: find(o='42') and
-    find(o='42', o_datatype=xsd:integer) are different patterns."""
+    InMemoryRelation.  LRU eviction under a BYTE budget (``max_bytes``,
+    matching the reference's size-budget semantics) with ``max_entries``
+    as a secondary cap; an entry's size is Catalyst's optimized-plan
+    ``sizeInBytes`` estimate — the same statistic broadcast decisions
+    trust — so 128 small point-lookup frames coexist while two
+    dump-sized frames already evict.  Evicted entries are unpersisted so
+    cached blocks never outlive the budget; the most-recent entry
+    always survives (evicting what the caller just asked for would
+    thrash).  Typed lookups (o_datatype / o_lang) key separately:
+    find(o='42') and find(o='42', o_datatype=xsd:integer) are different
+    patterns."""
 
-    def __init__(self, graph: VirtualGraph, max_entries: int = 128):
+    def __init__(
+        self,
+        graph: VirtualGraph,
+        max_bytes: int = 512 << 20,
+        max_entries: int = 128,
+    ):
         self.graph = graph
+        self.max_bytes = max_bytes
         self.max_entries = max_entries
         self._cache: "dict[tuple, DataFrame]" = {}
+        self._sizes: "dict[tuple, int]" = {}
+        self.total_bytes = 0
         self.hits = 0
         self.misses = 0
+
+    @staticmethod
+    def _entry_size(df: DataFrame) -> int:
+        """Catalyst's optimized-plan size estimate for the frame.  An
+        estimate, not a measurement — but it is available BEFORE
+        materialization (a measured cached-block size would require
+        blocking on the job) and errs large for joins, which is the
+        safe direction for a memory budget."""
+        try:
+            return int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return 0  # no JVM stats (mock/test frame): entry-count cap only
 
     def find(self, s=None, p=None, o=None, o_datatype=None, o_lang=None) -> DataFrame:
         from pyspark import StorageLevel
@@ -1545,16 +1572,23 @@ class CachingGraph:
             StorageLevel.MEMORY_AND_DISK
         )
         self._cache[key] = df
-        if len(self._cache) > self.max_entries:
+        self._sizes[key] = self._entry_size(df)
+        self.total_bytes += self._sizes[key]
+        while len(self._cache) > 1 and (
+            len(self._cache) > self.max_entries or self.total_bytes > self.max_bytes
+        ):
             # dicts iterate in insertion order → first key is the LRU
             old = next(iter(self._cache))
             self._cache.pop(old).unpersist()
+            self.total_bytes -= self._sizes.pop(old)
         return df
 
     def clear(self) -> None:
         for df in self._cache.values():
             df.unpersist()
         self._cache.clear()
+        self._sizes.clear()
+        self.total_bytes = 0
 
     def __getattr__(self, name):
         return getattr(self.graph, name)

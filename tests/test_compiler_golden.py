@@ -253,6 +253,33 @@ def test_caching_graph_lru_order(graph):
     cg.clear()
 
 
+def test_caching_graph_byte_budget(graph):
+    """Size-budget eviction (the reference's CachingGraph semantics):
+    under a tiny byte budget each insert evicts the previous entry —
+    only the most-recent frame survives — while a generous budget
+    keeps both.  Sizes come from the optimized-plan sizeInBytes
+    estimate, so entries cost > 0 bytes."""
+    from ont_d2rq_spark.graph import CachingGraph
+
+    cg = CachingGraph(graph, max_bytes=1)
+    cg.find(p=EX + "title")
+    assert cg.total_bytes > 0  # plan stats attached a real size
+    cg.find(p=EX + "conference")
+    assert len(cg._cache) == 1  # over budget → LRU evicted...
+    keys = {k[1] for k in cg._cache}
+    assert keys == {EX + "conference"}  # ...but the newest survives
+    # eviction released the tracked bytes of the evicted entry
+    assert cg.total_bytes == sum(cg._sizes.values())
+    cg.clear()
+    assert cg.total_bytes == 0
+
+    roomy = CachingGraph(graph, max_bytes=1 << 40)
+    roomy.find(p=EX + "title")
+    roomy.find(p=EX + "conference")
+    assert len(roomy._cache) == 2
+    roomy.clear()
+
+
 def test_nt_rendering(graph):
     lines = {
         r[0]
