@@ -438,21 +438,50 @@ class MappingCompiler:
     def _broadcastable(self, table_name: str) -> bool:
         if table_name in self.extra_tables:
             return False  # injected frames carry no size info
-        try:
-            import os
+        path = self.mapping.database.path_for(table_name)
+        total = self._source_bytes(path)
+        if total is None:
+            import logging
 
-            path = self.mapping.database.path_for(table_name)
-            if os.path.isdir(path):
-                total = sum(
-                    os.path.getsize(os.path.join(path, f))
-                    for f in os.listdir(path)
-                    if not f.startswith((".", "_"))
-                )
-            else:
-                total = os.path.getsize(path)
-        except OSError:
+            logging.getLogger(__name__).info(
+                "FK-broadcast hint suppressed for %s: source size unknown "
+                "(%s); Catalyst/AQE stats decide the join strategy",
+                table_name,
+                path,
+            )
             return False
         return total <= self.FK_BROADCAST_CAP_BYTES
+
+    def _source_bytes(self, path: str) -> Optional[int]:
+        """On-disk bytes of a source path, or None when unknown.  Local
+        paths use os.stat; URI paths (s3://, hdfs://, …) go through the
+        JVM's Hadoop FileSystem.getContentSummary — driver-side metadata
+        calls only, no data read either way."""
+        import os
+        import re as _re
+
+        if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
+            "file://"
+        ):
+            try:
+                jvm = self.spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(path)
+                conf = self.spark._jsc.hadoopConfiguration()
+                fs = jpath.getFileSystem(conf)
+                return int(fs.getContentSummary(jpath).getLength())
+            except Exception:
+                return None
+        local = path[len("file://"):] if path.startswith("file://") else path
+        try:
+            if os.path.isdir(local):
+                return sum(
+                    os.path.getsize(os.path.join(local, f))
+                    for f in os.listdir(local)
+                    if not f.startswith((".", "_"))
+                )
+            return os.path.getsize(local)
+        except OSError:
+            return None
 
     # Above this many entries a translation table joins as a broadcast
     # dict-DataFrame instead of a plan-embedded map literal (a 10M-entry

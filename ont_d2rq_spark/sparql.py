@@ -261,6 +261,10 @@ class Query:
     # (sql_expr, var[, (STRLANG|STRDT, tag)])
     binds: list[tuple] = field(default_factory=list)
     values_clauses: list[tuple] = field(default_factory=list)  # (vars, rows)
+    # trailing query-level ValuesClause: joined AFTER the WHERE group
+    # evaluates (SPARQL 18.2.2 P := Join(P, ToMultiSet(data))) — a WHERE
+    # filter referencing a var bound only here must see it UNBOUND
+    trailing_values: list[tuple] = field(default_factory=list)  # (vars, rows)
     minus: list["Query"] = field(default_factory=list)  # recursive group bodies
     template: list[tuple] = field(default_factory=list)  # CONSTRUCT triples
     describe: list[str] = field(default_factory=list)  # DESCRIBE nodes
@@ -408,7 +412,7 @@ class _P:
                 q.template = list(q.patterns)
                 self._modifiers(q)
                 if self.kw("VALUES"):
-                    q.values_clauses.append(self._values_clause())
+                    q.trailing_values.append(self._values_clause())
                 return q
             self.expect("{")
             self._template(q)
@@ -435,9 +439,10 @@ class _P:
         self._group(q.patterns, q)
         self._modifiers(q)
         # trailing VALUES block (SPARQL ValuesClause: after the solution
-        # modifiers, applies to the whole query)
+        # modifiers, applies to the whole query — joined AFTER the WHERE
+        # group so group FILTERs see its vars as unbound, per 18.2.2)
         if self.kw("VALUES"):
-            q.values_clauses.append(self._values_clause())
+            q.trailing_values.append(self._values_clause())
         q.binds.extend(self._agg_binds)
         del self._agg_binds[:]
         return q
@@ -1157,19 +1162,58 @@ def _agg_column(fn: str, arg: str, distinct: bool, alias: str, sep=None):
 def _construct_frame(df: DataFrame, template: list) -> DataFrame:
     """CONSTRUCT: instantiate each template triple per binding row →
     TRIPLE_SCHEMA-shaped frame, deduped (CONSTRUCT graphs are sets).
-    Rows with an unbound (NULL) template variable emit no triple."""
+    Rows with an unbound (NULL) template variable emit no triple.
+
+    `?__bn…` vars (bracketed bnode property lists in the CONSTRUCT
+    WHERE shorthand) are template blank nodes: per spec each solution
+    instantiates a FRESH bnode, not the matched term.  Labels are
+    minted from a hash of the full solution row — same solution ⇒ same
+    label across the template's triples, distinct solutions ⇒ distinct
+    labels — which is distributed-safe (no driver counter, stable
+    under recomputation).  Duplicate solutions merge their bnodes; the
+    output is a graph (set), so the merge is a lean of the spec graph."""
     from functools import reduce as _reduce
 
-    from ont_d2rq_spark.graph import Lit, _is_var, _var_name
+    from ont_d2rq_spark.graph import Lit, _is_companion, _is_var, _var_name
+
+    bn_vars = {
+        _var_name(t)
+        for tri in template
+        for t in tri
+        if _is_var(t) and _var_name(t).startswith("__bn")
+    }
+    sol_hash = None
+    if bn_vars:
+        sol_cols = [c for c in df.columns if c != "_m" and not _is_companion(c)]
+        sol_hash = (
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in sol_cols
+                    ],
+                )
+            )
+            if sol_cols
+            else F.lit("0")
+        )
 
     frames = []
     for ts, tp, to in template:
         def _node(term):
             if _is_var(term):
-                return F.col(_var_name(term))
+                v = _var_name(term)
+                if v in bn_vars:
+                    return F.concat(F.lit(f"_:cb{v[4:]}_"), sol_hash)
+                return F.col(v)
             return F.lit(str(term))
 
-        if _is_var(to):
+        if _is_var(to) and _var_name(to) in bn_vars:
+            o_dt = F.lit(None).cast("string")
+            o_lang = F.lit(None).cast("string")
+            o_islit = F.lit(False)
+        elif _is_var(to):
             v = _var_name(to)
             o_dt = F.col(f"{v}__dt") if f"{v}__dt" in df.columns else F.lit(None).cast("string")
             o_lang = F.col(f"{v}__lang") if f"{v}__lang" in df.columns else F.lit(None).cast("string")
@@ -1287,7 +1331,7 @@ def _q_all_vars(q: Query) -> set:
     nested group bodies)."""
     vs = _pattern_vars(q.patterns)
     vs |= {b[1] for b in q.binds}
-    for vars_, _rows in q.values_clauses:
+    for vars_, _rows in q.values_clauses + q.trailing_values:
         vs |= set(vars_)
     for oq in q.optional:
         vs |= _q_all_vars(oq)
@@ -1313,7 +1357,7 @@ def _q_certain_vars(q: Query) -> set:
     counting it certain would give downstream joins null-rejecting
     equality and silently drop compatible solutions."""
     vs = _pattern_vars(q.patterns)
-    for vars_, rows in q.values_clauses:
+    for vars_, rows in q.values_clauses + q.trailing_values:
         vs |= {v for i, v in enumerate(vars_) if all(r[i] is not None for r in rows)}
     if q.union:
         vs |= set.intersection(*[_q_certain_vars(b) for b in q.union])
@@ -1655,43 +1699,7 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=Non
     # take the compatibility-join path: per shared var, the VALUES cell
     # must be unbound OR equal; the surviving binding coalesces.
     for vars_, rows in q.values_clauses:
-        vdf = graph.spark.createDataFrame(
-            rows, ", ".join(f"{v} string" for v in vars_)
-        )
-        shared = [c for c in df.columns if c in vars_]
-        has_undef = any(cell is None for row in rows for cell in row)
-        if not has_undef:
-            df = (
-                df.join(F.broadcast(vdf), on=shared, how="inner")
-                if shared
-                else df.crossJoin(F.broadcast(vdf))
-            )
-            continue
-        vdf = vdf.select(*[F.col(v).alias(f"__val_{v}") for v in vars_])
-        if shared:
-            cond = None
-            for v in shared:
-                # either side unbound -> compatible; both bound -> equal
-                c = (
-                    F.col(f"__val_{v}").isNull()
-                    | F.col(v).isNull()
-                    | (F.col(v) == F.col(f"__val_{v}"))
-                )
-                cond = c if cond is None else cond & c
-            df = df.join(F.broadcast(vdf), cond, "inner")
-        else:
-            df = df.crossJoin(F.broadcast(vdf))
-        for v in vars_:
-            df = (
-                df.withColumn(v, F.coalesce(F.col(v), F.col(f"__val_{v}")))
-                if v in shared
-                else df.withColumn(v, F.col(f"__val_{v}"))
-            )
-        df = df.drop(*[f"__val_{v}" for v in vars_])
-        # a var with an UNDEF cell can remain NULL after the merge
-        for i, v in enumerate(vars_):
-            if any(row[i] is None for row in rows):
-                maybe_unbound.add(v)
+        df = _join_values(graph, df, maybe_unbound, vars_, rows)
     # BIND: new columns (evaluated before FILTERs, see module doc)
     for b in q.binds:
         expr, var, meta = b if len(b) == 3 else (*b, None)
@@ -1818,6 +1826,49 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=Non
     return df, maybe_unbound
 
 
+def _join_values(graph, df, maybe_unbound: set, vars_, rows) -> DataFrame:
+    """Join one VALUES binding table into a solution frame (mutates
+    maybe_unbound in place).  All-bound tables take a plain broadcast
+    equi-join; rows with UNDEF cells take the compatibility join —
+    per shared var the VALUES cell must be unbound OR equal, and the
+    surviving binding coalesces."""
+    vdf = graph.spark.createDataFrame(rows, ", ".join(f"{v} string" for v in vars_))
+    shared = [c for c in df.columns if c in vars_]
+    has_undef = any(cell is None for row in rows for cell in row)
+    if not has_undef:
+        return (
+            df.join(F.broadcast(vdf), on=shared, how="inner")
+            if shared
+            else df.crossJoin(F.broadcast(vdf))
+        )
+    vdf = vdf.select(*[F.col(v).alias(f"__val_{v}") for v in vars_])
+    if shared:
+        cond = None
+        for v in shared:
+            # either side unbound -> compatible; both bound -> equal
+            c = (
+                F.col(f"__val_{v}").isNull()
+                | F.col(v).isNull()
+                | (F.col(v) == F.col(f"__val_{v}"))
+            )
+            cond = c if cond is None else cond & c
+        df = df.join(F.broadcast(vdf), cond, "inner")
+    else:
+        df = df.crossJoin(F.broadcast(vdf))
+    for v in vars_:
+        df = (
+            df.withColumn(v, F.coalesce(F.col(v), F.col(f"__val_{v}")))
+            if v in shared
+            else df.withColumn(v, F.col(f"__val_{v}"))
+        )
+    df = df.drop(*[f"__val_{v}" for v in vars_])
+    # a var with an UNDEF cell can remain NULL after the merge
+    for i, v in enumerate(vars_):
+        if any(row[i] is None for row in rows):
+            maybe_unbound.add(v)
+    return df
+
+
 def _execute_query(graph, q: Query, bgp_fn=None, known_vars=None) -> DataFrame:
     from ont_d2rq_spark.graph import _is_companion
 
@@ -1830,6 +1881,11 @@ def _execute_query(graph, q: Query, bgp_fn=None, known_vars=None) -> DataFrame:
     df, _maybe = _eval_where(graph, q, bgp_fn, known_vars=known_vars)
     if df is None:  # empty group = one empty solution (SPARQL algebra)
         df = _unit_frame(graph)
+    # trailing query-level VALUES: Join(P, ToMultiSet(data)) AFTER the
+    # group pattern (18.2.2) — its vars were out of scope for the
+    # group's FILTERs (which saw them as unbound via _null_out_of_scope)
+    for vars_, rows in q.trailing_values:
+        df = _join_values(graph, df, _maybe, vars_, rows)
 
     if q.form == "ASK":
         return graph.spark.createDataFrame([(not df.isEmpty(),)], "ask boolean")

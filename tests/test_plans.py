@@ -210,3 +210,23 @@ def test_fk_hint_size_guarded(spark):
     g2 = VirtualGraph(tpch_mapping(SF), spark, use_broadcast_hints=True)
     cb2 = next(b for b in g2.bridges if b.name == "customer.nation")
     assert "BroadcastHashJoin" in plan(g2.compiler.bridge_df(cb2))
+
+
+def test_source_bytes_uri_paths(spark):
+    """r6 (ADVICE): _broadcastable must not OSError on non-local URIs —
+    file:// URIs size via the local branch, unreachable remote schemes
+    return None (hint suppressed, logged) instead of raising."""
+    from ont_d2rq_spark.compiler.relation import MappingCompiler
+    from ont_d2rq_spark.examples import tpch_mapping
+    from ont_d2rq_spark.graph import VirtualGraph
+
+    g = VirtualGraph(tpch_mapping(SF), spark)
+    c = g.compiler
+    local = c.mapping.database.path_for("region")
+    n = c._source_bytes(local)
+    assert n is not None and n > 0
+    # file:// URI resolves through the same local branch
+    assert c._source_bytes("file://" + local) == n
+    # unreachable remote scheme: None, no exception
+    assert c._source_bytes("hdfs://nohost-r6:9000/dim/region") is None
+    assert c._broadcastable("region") is True

@@ -1,26 +1,14 @@
-"""Round-6 SPARQL semantics and plans.
-
-1. Symmetric null-mask compat-join decomposition (judge r5 item #1):
-   when BOTH sides of a compatibility join can leave shared vars
-   unbound (an OPTIONAL joined against a subquery that itself projects
-   optional vars), the join decomposes into hash-joinable slice PAIRS
-   instead of Catalyst's BroadcastNestedLoopJoin over the
-   isNull-or-equal condition — the last plan shape that would not have
-   survived a 100x scale-up.
-2. SPARQL dataset clauses (FROM / FROM NAMED), which the reference
-   inherits from ARQ's DatasetDescription handling
-   (engine/QueryEngineD2RQ.java, public owlcs/ont-d2rq layout).
-3. Metamorphic fuzz of the recursive group evaluator against a naive
-   in-memory solution-set evaluator (test_sparql_fuzz.py carries the
-   hypothesis harness; the handwritten adversarial cases live here).
-"""
+"""Round-6 SPARQL semantics: query-level (trailing) VALUES bottom-up
+scoping, CONSTRUCT WHERE template blank nodes, and the metamorphic
+fuzz harness for the recursive group evaluator (the reference inherits
+all three behaviors from ARQ — engine/QueryEngineD2RQ.java delegation,
+public layout)."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from ont_d2rq_spark.examples import tpch_mapping
-from ont_d2rq_spark.graph import VirtualGraph, optional_join
-from ont_d2rq_spark.sparql import execute
+from ont_d2rq_spark.graph import VirtualGraph
+from ont_d2rq_spark.sparql import SparqlError, execute
 
 SF = "/root/testdata/sf0.001"
 EX = "http://example.org/"
@@ -32,281 +20,106 @@ def graph(spark):
 
 
 # ---------------------------------------------------------------------------
-# symmetric compat-join decomposition: correctness
+# trailing query-level VALUES: joined AFTER the WHERE group (18.2.2),
+# so a group FILTER referencing its var sees UNBOUND (error -> false)
 # ---------------------------------------------------------------------------
 
 
-def test_sym_compat_join_inner_results(spark):
-    """Both sides nullable on the shared var: every null-mask pair
-    merges per SPARQL compatibility (unbound-vs-anything compatible,
-    bound-vs-bound requires equality)."""
-    left = spark.createDataFrame(
-        [("a", "r1"), ("b", None), ("c", "r9")], "n string, r string"
-    )
-    right = spark.createDataFrame(
-        [("a", None, "x1"), ("b", "r3", "x3"), ("c", "r4", "x4"), ("d", None, "x5")],
-        "n string, r string, x string",
-    )
-    out = optional_join(
-        left, right, maybe_unbound={"r"}, right_maybe={"r"}, how="inner"
-    ).collect()
-    got = {(r["n"], r["r"], r["x"]) for r in out}
-    # a: left r1 vs right NULL → compatible, merged keeps r1
-    # b: left NULL adopts r3; c: r9 != r4 → dropped; d: no left partner
-    assert got == {("a", "r1", "x1"), ("b", "r3", "x3")}
-
-
-def test_sym_compat_join_left_preserves_unmatched(spark):
-    """LeftJoin semantics: a left row with no compatible partner in ANY
-    slice pair survives exactly once with the right vars unbound."""
-    left = spark.createDataFrame(
-        [("a", "r1"), ("b", None), ("c", "r9")], "n string, r string"
-    )
-    right = spark.createDataFrame(
-        [("a", None, "x1"), ("b", "r3", "x3"), ("c", "r4", "x4")],
-        "n string, r string, x string",
-    )
-    out = optional_join(
-        left, right, maybe_unbound={"r"}, right_maybe={"r"}, how="left"
-    ).collect()
-    got = sorted((r["n"], r["r"], r["x"]) for r in out)
-    assert got == [("a", "r1", "x1"), ("b", "r3", "x3"), ("c", "r9", None)]
-
-
-def test_sym_compat_join_multi_match_not_duplicated(spark):
-    """A left row matched by several right slices appears once per
-    compatible pair — and is NOT re-added by the outer reconstruction."""
-    left = spark.createDataFrame([("a", None)], "n string, r string")
-    right = spark.createDataFrame(
-        [("a", None, "x1"), ("a", "r2", "x2")], "n string, r string, x string"
-    )
-    out = optional_join(
-        left, right, maybe_unbound={"r"}, right_maybe={"r"}, how="left"
-    ).collect()
-    got = [(r["n"], r["r"], r["x"]) for r in out]
-    assert len(got) == 2
-    assert set(got) == {("a", None, "x1"), ("a", "r2", "x2")}
-
-
-def test_sym_compat_join_group_filter(spark):
-    """LeftJoin expr: a failing filter over the MERGED binding un-binds
-    the optional part instead of dropping the left row, in every slice
-    pair of the symmetric decomposition."""
-    left = spark.createDataFrame([("a", "r1"), ("b", None)], "n string, r string")
-    right = spark.createDataFrame(
-        [("a", None, "x1"), ("b", "r3", "x3")], "n string, r string, x string"
-    )
-    out = optional_join(
-        left,
-        right,
-        filters=["x != 'x3'"],
-        maybe_unbound={"r"},
-        right_maybe={"r"},
-        how="left",
-    ).collect()
-    got = {(r["n"], r["r"], r["x"]) for r in out}
-    assert got == {("a", "r1", "x1"), ("b", None, None)}
-
-
-def test_sym_compat_join_is_hash_joinable(spark):
-    """The r5 plan for this shape was a BroadcastNestedLoopJoin over
-    the full input; the symmetric decomposition must plan pure hash /
-    sort-merge joins (an always-bound shared var exists, so every slice
-    pair has an equality key)."""
-    left = spark.createDataFrame([("a", "r1"), ("b", None)], "n string, r string")
-    right = spark.createDataFrame(
-        [("a", None, "x1"), ("b", "r3", "x3")], "n string, r string, x string"
-    )
-    for how in ("inner", "left"):
-        plan = (
-            optional_join(
-                left, right, maybe_unbound={"r"}, right_maybe={"r"}, how=how
-            )
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        assert "BroadcastNestedLoopJoin" not in plan, how
-        assert "CartesianProduct" not in plan, how
-
-
-def test_sym_compat_join_two_vars_both_sides(spark):
-    """Two compat vars nullable on both sides (16 slice pairs) still
-    merge correctly and reconstruct unmatched rows."""
-    left = spark.createDataFrame(
-        [("a", "r1", None), ("b", None, "s2"), ("c", None, None)],
-        "n string, r string, s string",
-    )
-    right = spark.createDataFrame(
-        [("a", None, "s9", "x1"), ("b", "r7", None, "x2"), ("z", None, None, "x3")],
-        "n string, r string, s string, x string",
-    )
-    out = optional_join(
-        left, right, maybe_unbound={"r", "s"}, right_maybe={"r", "s"}, how="left"
-    ).collect()
-    got = sorted((r["n"], r["r"], r["s"], r["x"]) for r in out)
-    assert got == [
-        ("a", "r1", "s9", "x1"),
-        ("b", "r7", "s2", "x2"),
-        ("c", None, None, None),
-    ]
-
-
-def test_optional_vs_nullable_subquery_end_to_end(graph, spark):
-    """End-to-end SPARQL shape from the verdict: an OPTIONAL binding
-    (?lbl, always bound = the nation name) compatibility-joins a
-    subquery that can itself leave ?lbl unbound on the right (region
-    names shorter than 7 chars fail the inner FILTER).  A bound right
-    ?lbl (long region name) is incompatible with the bound nation name,
-    so exactly the nations of short-named regions survive."""
-    q = f"""
-    PREFIX ex: <{EX}>
-    SELECT ?nation ?lbl WHERE {{
-      {{ SELECT ?region ?lbl WHERE {{
-           ?region a ex:Region .
-           OPTIONAL {{ ?region ex:name ?lbl . FILTER(strlen(?lbl) > 6) }}
-      }} }}
-      ?nation ex:inRegion ?region .
-      OPTIONAL {{ ?nation ex:name ?lbl }}
-    }}
-    """
-    rows = execute(graph, q).collect()
-    regions = spark.read.parquet(f"{SF}/region.parquet")
-    nations = spark.read.parquet(f"{SF}/nation.parquet")
-    short = regions.filter(F.length("r_name") <= 6)
-    expected = nations.join(
-        short, nations.n_regionkey == short.r_regionkey
-    ).count()
-    assert len(rows) == expected
-    # surviving rows keep the always-bound left binding (nation name)
-    assert all(r["lbl"] is not None for r in rows)
-
-
-# ---------------------------------------------------------------------------
-# FROM / FROM NAMED dataset clauses
-# ---------------------------------------------------------------------------
-
-DATA_G = "urn:x-d2rq:graph:data"
-VOCAB_G = "urn:x-d2rq:graph:vocabulary"
-
-
-def test_from_single_data_graph_matches_default(graph):
-    """FROM <data> alone: default graph == the data graph, compiled
-    (pushdown) BGP path — identical result to no dataset clause."""
-    q = f"SELECT ?n WHERE {{ ?n a <{EX}Nation> }}"
-    base = {r["n"] for r in execute(graph, q).collect()}
-    got = {
-        r["n"]
-        for r in execute(
-            graph, f"SELECT ?n FROM <{DATA_G}> WHERE {{ ?n a <{EX}Nation> }}"
-        ).collect()
-    }
-    assert got == base and len(got) == 25
-
-
-def test_from_vocabulary_default_graph(graph):
-    """FROM <vocabulary>: schema triples answer top-level patterns
-    without a GRAPH wrapper; data-graph instances are absent."""
+def test_trailing_values_out_of_scope_for_where_filter(graph):
+    """?want is bound only by the query-level VALUES; inside WHERE it
+    is unbound, the FILTER errors -> false, and the query is empty —
+    NOT filtered-then-joined."""
     df = execute(
         graph,
-        f"""PREFIX owl: <http://www.w3.org/2002/07/owl#>
-        SELECT ?cls FROM <{VOCAB_G}> WHERE {{ ?cls a owl:Class }}""",
-    )
-    classes = {r["cls"] for r in df.collect()}
-    assert EX + "Region" in classes and EX + "Customer" in classes
-    # and the data graph is NOT in the default graph now
-    empty = execute(
-        graph, f"SELECT ?n FROM <{VOCAB_G}> WHERE {{ ?n a <{EX}Nation> }}"
-    )
-    assert empty.count() == 0
-
-
-def test_from_merged_default_graph_cross_join(graph):
-    """Two FROM clauses merge into one default graph: a BGP that needs
-    triples from BOTH graphs (class assertion from data + owl:Class from
-    vocabulary) joins inside the merged default graph."""
-    df = execute(
-        graph,
-        f"""PREFIX owl: <http://www.w3.org/2002/07/owl#>
-        SELECT DISTINCT ?cls FROM <{DATA_G}> FROM <{VOCAB_G}>
-        WHERE {{ ?x a ?cls . ?cls a owl:Class }}""",
-    )
-    classes = {r["cls"] for r in df.collect()}
-    # every mapped class with instances qualifies
-    assert EX + "Nation" in classes and EX + "Region" in classes
-
-
-def test_from_named_restricts_graph_enumeration(graph):
-    """FROM NAMED <vocab>: GRAPH ?g ranges over vocab only, and with no
-    plain FROM the default graph is EMPTY (SPARQL dataset semantics)."""
-    df = execute(
-        graph,
-        f"""SELECT DISTINCT ?g FROM NAMED <{VOCAB_G}>
-        WHERE {{ GRAPH ?g {{ ?s ?p ?o }} }}""",
-    )
-    assert {r["g"] for r in df.collect()} == {VOCAB_G}
-    # default graph is empty: a top-level pattern yields nothing
-    assert (
-        execute(
-            graph,
-            f"SELECT ?s FROM NAMED <{VOCAB_G}> WHERE {{ ?s a <{EX}Nation> }}",
-        ).count()
-        == 0
-    )
-
-
-def test_graph_iri_outside_from_named_is_empty(graph):
-    """GRAPH <data> when only vocab is FROM NAMED: empty solutions —
-    the dataset clause limits what GRAPH may address."""
-    df = execute(
-        graph,
-        f"""SELECT ?s FROM NAMED <{VOCAB_G}>
-        WHERE {{ GRAPH <{DATA_G}> {{ ?s ?p ?o }} }}""",
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn ?want WHERE {{
+          ?r a ex:Region . ?r ex:name ?rn .
+          FILTER(?rn = ?want)
+        }}
+        VALUES ?want {{ "ASIA" }}""",
     )
     assert df.count() == 0
 
 
-def test_from_and_from_named_interaction(graph):
-    """FROM <data> + FROM NAMED <vocab>: default-graph pattern joins a
-    GRAPH-scoped vocabulary pattern (the judge's FROM+GRAPH case)."""
+def test_trailing_values_still_joins_bindings(graph):
+    """Control: without a group filter the trailing VALUES behaves as
+    the ordinary join with the WHERE solutions."""
     df = execute(
         graph,
-        f"""PREFIX owl: <http://www.w3.org/2002/07/owl#>
-        PREFIX ex: <{EX}>
-        SELECT ?x ?cls FROM <{DATA_G}> FROM NAMED <{VOCAB_G}>
-        WHERE {{
-            ?x a ?cls .
-            GRAPH <{VOCAB_G}> {{ ?cls a owl:Class }}
-            FILTER (cls = 'http://example.org/Region')
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn ?extra WHERE {{ ?r a ex:Region . ?r ex:name ?rn }}
+        VALUES (?rn ?extra) {{ ("ASIA" "a") ("AFRICA" "b") }}""",
+    )
+    rows = {(r["rn"], r["extra"]) for r in df.collect()}
+    assert rows == {("ASIA", "a"), ("AFRICA", "b")}
+
+
+def test_group_values_still_in_scope_for_filter(graph):
+    """A VALUES INSIDE the group is same-group: its var IS visible to
+    the group's FILTER (regression guard for the scoping split)."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn WHERE {{
+          ?r a ex:Region . ?r ex:name ?rn .
+          VALUES ?want {{ "ASIA" }}
+          FILTER(?rn = ?want)
         }}""",
     )
     rows = df.collect()
-    assert len(rows) == 5  # 5 regions
-    assert all(r["cls"] == EX + "Region" for r in rows)
+    assert len(rows) == 1 and rows[0]["rn"] == "ASIA"
 
 
-def test_from_unknown_graph_empty_default(graph):
+def test_trailing_values_undef_compat(graph):
+    """UNDEF cells in a trailing VALUES constrain nothing for that row."""
     df = execute(
         graph,
-        f"SELECT ?s FROM <urn:x-d2rq:graph:nope> WHERE {{ ?s ?p ?o }}",
+        f"""PREFIX ex: <{EX}>
+        SELECT ?rn ?tag WHERE {{ ?r a ex:Region . ?r ex:name ?rn }}
+        VALUES (?rn ?tag) {{ ("ASIA" "x") (UNDEF "y") }}""",
     )
-    assert df.count() == 0
+    rows = df.collect()
+    tags = [r["tag"] for r in rows]
+    # (ASIA,x) matches once; (UNDEF,y) is compatible with all 5 regions
+    assert tags.count("x") == 1 and tags.count("y") == 5
 
 
-def test_from_prefixed_name_and_construct_shorthand(graph):
-    """FROM accepts prefixed names; CONSTRUCT WHERE shorthand takes
-    dataset clauses between CONSTRUCT and WHERE per the grammar."""
+# ---------------------------------------------------------------------------
+# CONSTRUCT WHERE + blank-node property list: the template instantiates
+# a FRESH bnode per solution, not the matched term
+# ---------------------------------------------------------------------------
+
+
+def test_construct_where_bnode_template_fresh_labels(graph):
+    """`[ ex:inRegion ?r ]` matches the 25 nations, but the TEMPLATE
+    emits a fresh bnode per solution — never the matched nation IRI."""
     df = execute(
         graph,
-        f"""PREFIX g: <urn:x-d2rq:graph:>
-        PREFIX owl: <http://www.w3.org/2002/07/owl#>
-        CONSTRUCT FROM g:vocabulary WHERE {{ ?cls a owl:Class }}""",
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT WHERE {{ ?r a ex:Region . ?r ex:name ?rn . [ ex:inRegion ?r ] }}""",
     )
-    assert df.filter(F.col("obj") == "http://www.w3.org/2002/07/owl#Class").count() > 0
+    rows = df.collect()
+    inreg = [r for r in rows if r["pred"] == EX + "inRegion"]
+    # one fresh bnode subject per solution (25 nation matches)
+    assert len(inreg) == 25
+    subs = {r["subj"] for r in inreg}
+    assert len(subs) == 25
+    assert all(s.startswith("_:") for s in subs)
+    # the name triples still carry the real region subjects
+    names = [r for r in rows if r["pred"] == EX + "name"]
+    assert len(names) == 5 and all(not r["subj"].startswith("_:") for r in names)
 
 
-def test_from_non_iri_raises(graph):
-    from ont_d2rq_spark.sparql import SparqlError
-
-    with pytest.raises(SparqlError):
-        execute(graph, "SELECT ?s FROM ?g WHERE { ?s ?p ?o }")
+def test_construct_where_bnode_same_solution_same_label(graph):
+    """Within ONE solution the bracketed bnode keeps a single identity
+    across the triples it participates in."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT WHERE {{ [ ex:inRegion ?r ; ex:name ?nn ] }}""",
+    )
+    rows = df.collect()
+    inreg = {r["subj"]: r["obj"] for r in rows if r["pred"] == EX + "inRegion"}
+    name = {r["subj"]: r["obj"] for r in rows if r["pred"] == EX + "name"}
+    assert len(inreg) == 25 and set(inreg) == set(name)
+    assert all(s.startswith("_:") for s in inreg)
