@@ -276,6 +276,14 @@ class Query:
     # graph, FROM NAMED <g> restricts what GRAPH can range over
     from_graphs: list[str] = field(default_factory=list)
     from_named: list[str] = field(default_factory=list)
+    # every ?var the parser saw inside a FILTER/BIND/HAVING expression,
+    # anywhere in the query (top-level only; nested groups inherit via
+    # known_vars).  A var referenced ONLY by an expression is never a
+    # binding column, so _null_out_of_scope must know it is a variable
+    # to give it unbound semantics instead of failing Catalyst
+    # resolution (SPARQL: unbound var in an expression -> error ->
+    # filter false / BIND leaves the target unbound)
+    expr_vars: set = field(default_factory=set)
 
 
 class SparqlError(ValueError):
@@ -303,6 +311,7 @@ class _P:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._fresh_n = 0
+        self._expr_vars: set = set()
         # hidden BIND columns synthesized for aggregate EXPRESSION
         # arguments; attached to the query whose SELECT produced them
         self._agg_binds: list[tuple] = []
@@ -1034,6 +1043,7 @@ class _P:
         name, <iri> / pfx:local → quoted IRI string, rest verbatim."""
         g = t.group(0)
         if t.lastgroup == "var":
+            self._expr_vars.add(g[1:])
             return g[1:]
         if t.lastgroup == "iri":
             return "'" + g[1:-1] + "'"
@@ -1110,7 +1120,10 @@ class _P:
 
 
 def parse(query: str) -> Query:
-    return _P(query).parse()
+    p = _P(query)
+    q = p.parse()
+    q.expr_vars |= p._expr_vars
+    return q
 
 
 def _ensure_companions(df: DataFrame, expr: str) -> DataFrame:
@@ -1518,7 +1531,7 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=Non
     if bgp_fn is None:
         bgp_fn = graph.bgp
     if known_vars is None:
-        known_vars = _q_all_vars(q)
+        known_vars = _q_all_vars(q) | q.expr_vars
     maybe_unbound: set = set()
     df = bgp_fn(q.patterns) if q.patterns else None
 
@@ -1703,6 +1716,10 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=Non
     # BIND: new columns (evaluated before FILTERs, see module doc)
     for b in q.binds:
         expr, var, meta = b if len(b) == 3 else (*b, None)
+        # a BIND expression referencing an out-of-scope var evaluates
+        # it as UNBOUND (error -> the target stays unbound), same
+        # scope rule as FILTER
+        expr = _null_out_of_scope(expr, df.columns, known_vars)
         df = _ensure_companions(df, expr)
         df = df.withColumn(var, F.expr(expr))
         if meta is not None:  # STRLANG / STRDT typed-literal constructor

@@ -392,3 +392,52 @@ def test_png_decode_roundtrip_property():
         assert list(gray) == list(expect)
 
     prop()
+
+
+def test_png_decode_avg_paeth_512_budget():
+    """A 512x512 RGB PNG of alternating Average/Paeth scanlines decodes
+    EXACTLY and under a wall budget — pins the list-based sequential
+    unfilter loops (r6: these two filters have no prefix-scan form, so
+    they are per-scanline python-int loops; measured ~0.25 s here, the
+    5 s budget is ~20x headroom so a loaded CI box never flakes, while
+    the original per-element-numpy implementation at ~0.9 s would
+    still pass only 5x under — a regression to per-pixel numpy or an
+    accidental O(n^2) shows up immediately)."""
+    import time
+
+    import numpy as np
+
+    w = h = 512
+    ch = 3
+    stride = w * ch
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(h, stride), dtype=np.int64)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line, f = px[y], 3 if y % 2 == 0 else 4
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), line[:-ch]])
+        if f == 3:
+            flt = (line - (left + prev) // 2) % 256
+        else:
+            upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pr = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            flt = (line - pr) % 256
+        lines.append((f, flt.astype(np.uint8).tobytes()))
+        prev = line
+    png = _mk_png(w, h, lines, color_type=2)
+
+    t0 = time.perf_counter()
+    got = MM._png_decode(png)
+    wall = time.perf_counter() - t0
+    assert got is not None
+    gw, gh, gray = got
+    rgb = px.reshape(h, w, ch)
+    want = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(np.asarray(gray).reshape(h, w), want)
+    assert wall < 5.0, f"Average/Paeth unfilter took {wall:.2f}s on 512x512"

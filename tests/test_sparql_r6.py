@@ -123,3 +123,318 @@ def test_construct_where_bnode_same_solution_same_label(graph):
     name = {r["subj"]: r["obj"] for r in rows if r["pred"] == EX + "name"}
     assert len(inreg) == 25 and set(inreg) == set(name)
     assert all(s.startswith("_:") for s in inreg)
+
+
+# ---------------------------------------------------------------------------
+# metamorphic fuzz harness: hypothesis-generated nested
+# OPTIONAL/UNION/MINUS/BIND/FILTER group trees (depth <=3) executed by
+# the recursive DataFrame evaluator over a tiny explicit triple graph,
+# cross-checked against a naive in-memory solution-multiset evaluator
+# implementing the SPARQL 1.1 algebra directly (Join/LeftJoin/Union/
+# Minus/Extend/Filter over binding dicts).  The reference gets the
+# residual algebra from ARQ's OpExecutor, battle-tested upstream; this
+# engine's recursive _eval_where is home-grown and earns its trust here.
+# ---------------------------------------------------------------------------
+
+import itertools
+import os
+from collections import Counter
+from dataclasses import dataclass, field
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ont_d2rq_spark.compiler.relation import TRIPLE_SCHEMA
+from ont_d2rq_spark.graph import bgp_over_triples
+
+# fixed tiny graph: IRIs and literal lexicals are DISJOINT, every
+# literal is plain (RDF-term equality == lexical equality), so the
+# naive term tuples and the engine's projected lexical columns compare
+# 1:1.  r-edges form chains so multi-pattern joins have real matches.
+_FUZZ_TRIPLES = [
+    ("s1", "p", ("lit", "a")),
+    ("s1", "p", ("lit", "c")),
+    ("s1", "q", ("lit", "b")),
+    ("s1", "r", ("iri", EX + "s4")),
+    ("s2", "p", ("lit", "a")),
+    ("s2", "q", ("lit", "c")),
+    ("s2", "r", ("iri", EX + "s3")),
+    ("s3", "p", ("lit", "b")),
+    ("s3", "q", ("lit", "a")),
+    ("s3", "r", ("iri", EX + "s1")),
+    ("s4", "p", ("lit", "c")),
+    ("s4", "r", ("iri", EX + "s2")),
+]
+_NTRIPLES = [
+    (("iri", EX + s), ("iri", EX + p), o) for s, p, o in _FUZZ_TRIPLES
+]
+
+
+class _TriplesGraph:
+    """Minimal graph surface the SPARQL evaluator needs (bgp / spark /
+    named-graph hooks), over an explicit TRIPLE_SCHEMA frame — the same
+    generic path named graphs use (bgp_over_triples)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        rows = [
+            (EX + s, EX + p, o[1], None, None, o[0] == "lit")
+            for s, p, o in _FUZZ_TRIPLES
+        ]
+        self._tdf = spark.createDataFrame(rows, TRIPLE_SCHEMA).cache()
+        self._tdf.count()
+
+    def bgp(self, patterns):
+        return bgp_over_triples(self._tdf, patterns)
+
+    def graph_names(self):
+        return []
+
+    def graph_scoped_bgp(self, iri, patterns):
+        return bgp_over_triples(
+            self.spark.createDataFrame([], TRIPLE_SCHEMA), patterns
+        )
+
+    def graph_triples(self, iri):
+        return self.spark.createDataFrame([], TRIPLE_SCHEMA)
+
+    def triples(self, fuse=True, distinct="auto"):
+        return self._tdf
+
+
+@pytest.fixture(scope="module")
+def fuzz_graph(spark):
+    return _TriplesGraph(spark)
+
+
+@dataclass
+class _G:
+    patterns: list = field(default_factory=list)
+    union: tuple = None
+    optionals: list = field(default_factory=list)
+    minus: list = field(default_factory=list)
+    binds: list = field(default_factory=list)  # exprs pre-finalize, (name, expr) after
+    filters: list = field(default_factory=list)
+
+
+# --- generation -----------------------------------------------------------
+
+_VARS = ["?v0", "?v1", "?v2", "?v3"]
+_IRI_TERMS = [("iri", EX + s) for s in ("s1", "s2", "s3", "s4")]
+_PRED_TERMS = [("iri", EX + p) for p in ("p", "q", "r")]
+_LIT_TERMS = [("lit", x) for x in ("a", "b", "c")]
+
+_subj_t = st.sampled_from(_VARS * 2 + _IRI_TERMS)
+_obj_t = st.sampled_from(_VARS * 2 + _LIT_TERMS + _IRI_TERMS)
+_pat_t = st.tuples(_subj_t, st.sampled_from(_PRED_TERMS), _obj_t)
+
+_fvar_t = st.sampled_from(["v0", "v1", "v2", "v3", "b0"])
+_filter_t = st.one_of(
+    st.tuples(
+        st.just("cmp"),
+        _fvar_t,
+        st.sampled_from(["=", "!="]),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    st.tuples(st.just("bound"), _fvar_t),
+    st.tuples(st.just("notbound"), _fvar_t),
+)
+_bindexpr_t = st.one_of(
+    st.tuples(st.just("const"), st.sampled_from(["a", "x"])),
+    st.tuples(st.just("copy"), st.sampled_from(["v0", "v1", "v2", "v3"])),
+)
+
+
+def _group_t(depth: int, top: bool = False):
+    """Depth-bounded group tree.  Breadth narrows with depth (nested
+    optional_join plans grow multiplicatively in Catalyst analysis
+    cost — a lean tree keeps the 200-example run in CI budget while
+    still exercising every pairwise nesting across examples)."""
+    sub = _group_t(depth - 1) if depth > 0 else None
+    return st.builds(
+        _G,
+        patterns=st.lists(_pat_t, min_size=1, max_size=3 if top else 2),
+        union=(st.none() | st.tuples(sub, sub)) if sub else st.none(),
+        optionals=st.lists(sub, max_size=2 if top else 1) if sub else st.just([]),
+        minus=st.lists(sub, max_size=1) if sub else st.just([]),
+        binds=st.lists(_bindexpr_t, max_size=1),
+        filters=st.lists(_filter_t, max_size=2),
+    )
+
+
+def _finalize(g: _G, counter=None) -> _G:
+    """Assign globally-unique BIND target names (?b0, ?b1, ...) — BIND
+    may not rebind an in-scope var, and unique targets keep Extend
+    commutative with the engine's fixed fold order."""
+    if counter is None:
+        counter = itertools.count()
+        if not _proj_vars(g):
+            g.patterns[0] = ("?v0",) + tuple(g.patterns[0][1:])
+    g.binds = [(f"b{next(counter)}", ex) for ex in g.binds]
+    for b in (list(g.union) if g.union else []) + g.optionals + g.minus:
+        _finalize(b, counter)
+    return g
+
+
+def _proj_vars(g: _G) -> set:
+    """In-scope (projectable) vars: pattern vars + BIND targets, through
+    UNION branches and OPTIONAL bodies — NOT through MINUS bodies
+    (MINUS never binds, SPARQL 18.2.1 in-scope table)."""
+    vs = set()
+    for pat in g.patterns:
+        vs |= {t[1:] for t in pat if isinstance(t, str)}
+    vs |= {name for name, _ in g.binds if isinstance(name, str)}
+    for b in (list(g.union) if g.union else []) + g.optionals:
+        vs |= _proj_vars(b)
+    return vs
+
+
+# --- serialization to SPARQL text ------------------------------------------
+
+
+def _term_txt(t) -> str:
+    if isinstance(t, str):
+        return t
+    kind, lex = t
+    return f"<{lex}>" if kind == "iri" else f'"{lex}"'
+
+
+def _filter_txt(f) -> str:
+    if f[0] == "cmp":
+        return f'FILTER (?{f[1]} {f[2]} "{f[3]}")'
+    if f[0] == "bound":
+        return f"FILTER (BOUND(?{f[1]}))"
+    return f"FILTER (!BOUND(?{f[1]}))"
+
+
+def _ser(g: _G) -> str:
+    parts = [f"{_term_txt(s)} {_term_txt(p)} {_term_txt(o)} ." for s, p, o in g.patterns]
+    if g.union:
+        parts.append("{ " + _ser(g.union[0]) + " } UNION { " + _ser(g.union[1]) + " }")
+    parts += ["OPTIONAL { " + _ser(b) + " }" for b in g.optionals]
+    parts += ["MINUS { " + _ser(b) + " }" for b in g.minus]
+    for name, ex in g.binds:
+        src = f"?{ex[1]}" if ex[0] == "copy" else f'"{ex[1]}"'
+        parts.append(f"BIND({src} AS ?{name})")
+    parts += [_filter_txt(f) for f in g.filters]
+    return " ".join(parts)
+
+
+# --- naive SPARQL-algebra evaluator ----------------------------------------
+
+
+def _nv_compat(a: dict, b: dict) -> bool:
+    return all(a[k] == b[k] for k in a.keys() & b.keys())
+
+
+def _nv_join(A: list, B: list) -> list:
+    return [{**a, **b} for a in A for b in B if _nv_compat(a, b)]
+
+
+def _nv_match(pat) -> list:
+    out = []
+    for trip in _NTRIPLES:
+        sol, ok = {}, True
+        for t, tt in zip(pat, trip):
+            if isinstance(t, str):
+                v = t[1:]
+                if v in sol and sol[v] != tt:
+                    ok = False
+                    break
+                sol[v] = tt
+            elif t != tt:
+                ok = False
+                break
+        if ok:
+            out.append(sol)
+    return out
+
+
+def _nv_filter(f, sol: dict) -> bool:
+    """SPARQL error semantics: comparison over an unbound var is an
+    error -> effective false; BOUND() is total."""
+    if f[0] == "bound":
+        return f[1] in sol
+    if f[0] == "notbound":
+        return f[1] not in sol
+    t = sol.get(f[1])
+    if t is None:
+        return False
+    return (t[1] == f[3]) if f[2] == "=" else (t[1] != f[3])
+
+
+def _nv_body(g: _G) -> list:
+    """Group solutions with the group's TOP-LEVEL filters NOT applied
+    (they belong to the caller: group filter, or LeftJoin condition
+    when the group is an OPTIONAL operand)."""
+    sols = None
+    if g.patterns:
+        sols = [{}]
+        for pat in g.patterns:
+            sols = _nv_join(sols, _nv_match(pat))
+    if g.union:
+        u = _nv_eval(g.union[0]) + _nv_eval(g.union[1])
+        sols = u if sols is None else _nv_join(sols, u)
+    if sols is None:
+        sols = [{}]
+    for og in g.optionals:
+        right, cond = _nv_body(og), og.filters
+        nxt = []
+        for a in sols:
+            hits = [
+                {**a, **b}
+                for b in right
+                if _nv_compat(a, b)
+                and all(_nv_filter(f, {**a, **b}) for f in cond)
+            ]
+            nxt.extend(hits if hits else [a])
+        sols = nxt
+    for name, ex in g.binds:
+        nxt = []
+        for s in sols:
+            val = ("lit", ex[1]) if ex[0] == "const" else s.get(ex[1])
+            s2 = dict(s)
+            if val is not None:
+                s2[name] = val
+            nxt.append(s2)
+        sols = nxt
+    for mg in g.minus:
+        right = _nv_eval(mg)
+        sols = [
+            a
+            for a in sols
+            if not any(_nv_compat(a, b) and (a.keys() & b.keys()) for b in right)
+        ]
+    return sols
+
+
+def _nv_eval(g: _G) -> list:
+    return [s for s in _nv_body(g) if all(_nv_filter(f, s) for f in g.filters)]
+
+
+# --- the property -----------------------------------------------------------
+
+
+# CI runs the fixed derandomized 200; SPARK_GRAFT_FUZZ_SOAK=N runs N
+# fresh random examples instead (exploratory soak, not for CI)
+_SOAK = int(os.environ.get("SPARK_GRAFT_FUZZ_SOAK", "0"))
+
+
+@settings(
+    max_examples=_SOAK or 200,
+    deadline=None,
+    derandomize=not _SOAK,
+    database=None,
+)
+@given(_group_t(2, top=True))
+def test_fuzz_recursive_evaluator_matches_algebra(fuzz_graph, g):
+    g = _finalize(g)
+    pvars = sorted(_proj_vars(g))
+    query = "SELECT " + " ".join(f"?{v}" for v in pvars) + " WHERE { " + _ser(g) + " }"
+    got = Counter(
+        tuple(row[v] for v in pvars) for row in execute(fuzz_graph, query).collect()
+    )
+    want = Counter(
+        tuple(s[v][1] if v in s else None for v in pvars) for s in _nv_eval(g)
+    )
+    assert got == want, query
