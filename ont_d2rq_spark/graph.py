@@ -75,8 +75,9 @@ def _var_name(term) -> str:
 
 
 class PathPlus:
-    """SPARQL `pred+` / `pred*` / `pred?` property path over a single
-    predicate.  ``mod``:
+    """SPARQL `pred+` / `pred*` / `pred?` property path over a base edge
+    set — a single predicate, a PathGroup (`(p1/p2)+`), or a NegatedSet
+    (`!p+`).  ``mod``:
       '+' — one-or-more hops: distributed transitive closure
             (operators/closure.py) over the predicate's edge set.
       '*' — zero-or-more: the '+' closure ∪ the zero-length identity.
@@ -198,6 +199,12 @@ def _triple_frame_closure(tdf: DataFrame, s, pth: "PathPlus", o) -> DataFrame:
 
     if isinstance(pth.pred, PathGroup):
         base = bgp_over_triples(tdf, pth.pred.patterns).select(
+            F.col("__cs").alias("src"), F.col("__co").alias("dst")
+        )
+    elif isinstance(pth.pred, NegatedSet):
+        # `!p+` over the frame: the NPS evaluation (NOT-IN pred filter,
+        # direction handling) provides the closure's base edge set
+        base = bgp_over_triples(tdf, [("?__cs", pth.pred, "?__co")]).select(
             F.col("__cs").alias("src"), F.col("__co").alias("dst")
         )
     else:

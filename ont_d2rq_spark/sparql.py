@@ -86,9 +86,12 @@ group referencing an outer-group-only variable fails Catalyst
 resolution, and FILTER EXISTS evaluates group-locally (it cannot see
 the outer row's bindings — no correlated substitution).
 
+Repetition also composes over a negated set (`!p+`, `!(p|^q)*`): the
+NPS evaluation supplies the closure's base edge set.
+
 Not supported (raise): SERVICE (permanently excluded — this engine
 runs without network access; the reference gets federation free from
-ARQ) and repetition over a negated set.
+ARQ).
 """
 
 from __future__ import annotations
@@ -805,11 +808,17 @@ class _P:
         if self.peek() is not None and self.peek().group(0) == "!":
             self.next()
             t = self._negated_set(outer_inv=inv)
+            # repetition over a negated set — `!p+`, `(^!(p|q))*`: the
+            # NPS defines the closure's base edge set (any edge whose
+            # predicate is outside the list); PathPlus handles the
+            # iteration exactly as for a named predicate.  `^` was
+            # already folded into the member directions (`^!p ≡ !^p`,
+            # and the inverse of a closure is the closure of the
+            # inverted edge set), so inv is always False here.
+            mod = None
             if self.peek() is not None and self.peek().group(0) in ("+", "*", "?"):
-                raise SparqlError(
-                    "repetition modifier over a negated property set not supported"
-                )
-            return (t, False, None)
+                mod = self.next().group(0)
+            return (t, False, mod)
         if self.peek() is not None and self.peek().group(0) == "(":
             self.next()
             t = _GroupAtom(self._path())

@@ -438,3 +438,127 @@ def test_fuzz_recursive_evaluator_matches_algebra(fuzz_graph, g):
         tuple(s[v][1] if v in s else None for v in pvars) for s in _nv_eval(g)
     )
     assert got == want, query
+
+
+# ---------------------------------------------------------------------------
+# repetition over a negated property set: !p+ / !(p|^q)* — the NPS
+# evaluation supplies the closure's base edge set (SPARQL 18.4 path
+# translation composes NPS under PathMod; ARQ evaluates it natively)
+# ---------------------------------------------------------------------------
+
+
+def test_nps_plus_single_hop_equals_plain_nps(graph):
+    """From a nation, the only non-(name|type) outgoing edge is
+    inRegion, and regions have no further non-excluded edges — so the
+    closure equals the single-hop NPS result."""
+    plus = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?x WHERE {{ ?n a ex:Nation . ?n !(ex:name|a)+ ?x }}""",
+    )
+    plain = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?x WHERE {{ ?n a ex:Nation . ?n !(ex:name|a) ?x }}""",
+    )
+    assert sorted(map(tuple, plus.collect())) == sorted(map(tuple, plain.collect()))
+    assert plus.count() == 25
+
+
+def test_nps_plus_multi_hop(graph):
+    """Customer --inNation--> nation --inRegion--> region: with every
+    other customer-outgoing predicate excluded, !S+ reaches exactly the
+    nation (1 hop) and its region (2 hops) per customer."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?c ?x WHERE {{
+          ?c a ex:Customer .
+          ?c !(ex:name|a|ex:acctbal|ex:marketSegment|ex:display)+ ?x
+        }}""",
+    )
+    xs = [r["x"] for r in df.collect()]
+    assert len(xs) == 300  # 150 customers x (nation + region)
+    assert sum(1 for x in xs if x.startswith(EX + "nation/")) == 150
+    assert sum(1 for x in xs if x.startswith(EX + "region/")) == 150
+
+
+def test_nps_star_bound_subject(graph):
+    """!S* adds the zero-length identity for the bound subject."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ <{EX}nation/3> !(ex:name|a)* ?x }}""",
+    )
+    got = {r["x"] for r in df.collect()}
+    assert f"{EX}nation/3" in got
+    assert len(got) == 2 and any(x.startswith(f"{EX}region/") for x in got)
+
+
+def test_nps_plus_mixed_directions_cycle(spark):
+    """Mixed NPS under + over an explicit frame: forward non-'skip'
+    edges plus inverse non-'back' edges form a cycle a→b→c→a; the
+    closure from each node reaches all three (itself included).  Kept
+    on a tiny explicit graph on purpose: a mixed set makes the base
+    near-undirected, and the global closure of a near-undirected edge
+    set is all-pairs-per-component — pathological on any real graph
+    (closure.py documents the quadratic worst case)."""
+    from ont_d2rq_spark.compiler.relation import TRIPLE_SCHEMA
+    from ont_d2rq_spark.graph import bgp_over_triples
+    from ont_d2rq_spark.sparql import parse
+
+    rows = [
+        ("a", "http://x/next", "b", None, None, False),
+        ("b", "http://x/next", "c", None, None, False),
+        ("a", "http://x/rev", "c", None, None, False),  # c→a via ^
+        ("a", "http://x/skip", "c", None, None, False),
+        ("c", "http://x/back", "b", None, None, False),
+    ]
+    tdf = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    q = parse("SELECT ?s ?o WHERE { ?s !(<http://x/skip>|^<http://x/back>)+ ?o }")
+    ((s, p, o),) = q.patterns
+    got = {(r["s"], r["o"]) for r in bgp_over_triples(tdf, [(s, p, o)]).collect()}
+    assert got == {(x, y) for x in "abc" for y in "abc"}
+
+
+def test_nps_plus_inverse_of_closure_is_closure_of_inverse(graph):
+    """^(!S)+ must equal !S+ with endpoints swapped (the parser folds ^
+    into the member directions; inverse of a closure == closure of the
+    inverted edge set)."""
+    fwd = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?a ?b WHERE {{ ?a a ex:Nation . ?a !(ex:name|a)+ ?b }}""",
+    )
+    inv = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?a ?b WHERE {{ ?b a ex:Nation . ?a ^!(ex:name|a)+ ?b }}""",
+    )
+    assert sorted((r["a"], r["b"]) for r in fwd.collect()) == sorted(
+        (r["b"], r["a"]) for r in inv.collect()
+    )
+
+
+def test_nps_plus_over_explicit_triple_frame(spark):
+    """bgp_over_triples (the named-graph / dataset path) honors
+    PathPlus(NegatedSet): closure over a chain whose 'skip' edges are
+    excluded by predicate."""
+    from ont_d2rq_spark.compiler.relation import TRIPLE_SCHEMA
+    from ont_d2rq_spark.graph import NegatedSet, PathPlus, bgp_over_triples
+
+    rows = [
+        ("n1", "http://x/next", "n2", None, None, False),
+        ("n2", "http://x/next", "n3", None, None, False),
+        ("n3", "http://x/next", "n4", None, None, False),
+        ("n1", "http://x/skip", "n4", None, None, False),
+        ("n2", "http://x/name", "two", None, None, True),
+    ]
+    tdf = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    nps = NegatedSet(fwd=("http://x/skip", "http://x/name"))
+    out = bgp_over_triples(tdf, [("?s", PathPlus(nps, "+"), "?o")])
+    got = {(r["s"], r["o"]) for r in out.collect()}
+    assert got == {
+        ("n1", "n2"), ("n1", "n3"), ("n1", "n4"),
+        ("n2", "n3"), ("n2", "n4"), ("n3", "n4"),
+    }
