@@ -166,6 +166,7 @@ class MappingCompiler:
         self.extra_tables = extra_tables or {}
         self.use_broadcast_hints = use_broadcast_hints
         self._table_cache: dict[str, DataFrame] = {}
+        self._bridge_df_cache: dict[tuple, DataFrame] = {}
         for sql in mapping.database.startup_sql:
             spark.sql(sql)
 
@@ -670,7 +671,27 @@ class MappingCompiler:
         post_filters: Optional[list] = None,
     ) -> DataFrame:
         """One bridge → triples DataFrame, with optional plan-time
-        equality constraints (from node binding) pushed onto the scan."""
+        equality constraints (from node binding) pushed onto the scan.
+
+        Memoized per compiler instance: a BGP with repeated shapes
+        (e.g. two OPTIONALs both expanding `?x ex:name ?y` over every
+        name bridge) rebuilds identical frames, and each rebuild costs
+        dozens of py4j round-trips — the dominant driver-side constant
+        in SPARQL plan construction.  DataFrames are immutable, so
+        returning the same logical frame to every caller is safe; the
+        key covers everything the result depends on (bridge identity,
+        pushed constraints, post-filter expressions).  Identity is
+        id(cb), NOT cb.name — dataclasses.replace() derives same-name
+        variants (limitInverse swaps); the cache value pins the bridge
+        object so a collected variant's id cannot be reused."""
+        key = (
+            id(cb),
+            tuple(sorted((k, str(v)) for k, v in (constraints or {}).items())),
+            tuple(str(f) for f in (post_filters or [])),
+        )
+        cached = self._bridge_df_cache.get(key)
+        if cached is not None:
+            return cached[1]
         df = self._build_relation(cb)
         for qcol, const in (constraints or {}).items():
             df = df.filter(F.col(qcol) == F.lit(const))
@@ -690,6 +711,7 @@ class MappingCompiler:
         cap = self.mapping.database.result_size_limit
         if cap is not None:
             out = out.limit(cap)
+        self._bridge_df_cache[key] = (cb, out)
         return out
 
     def _n_to_1_joins(self, cb: CompiledBridge) -> bool:

@@ -191,12 +191,33 @@ def _triple_frame_single(tdf: DataFrame, s, p, o, swap: bool = False, pred_filte
     return f.select(*sel) if sel else f.limit(1).select(F.lit(1).alias("_m"))
 
 
+def _closure_of(base: DataFrame, s, o, mod: str) -> DataFrame:
+    """The reachability frame for a repetition modifier over ``base``
+    (src/dst edge columns).  `?` is the edge set itself; `+`/`*` need
+    the closure — seeded frontier BFS when an endpoint is a CONSTANT
+    (only that node's reachable subgraph is touched; the global
+    closure would materialize every node's reachability set just to
+    filter one out — quadratic on dense graphs, never acceptable at
+    scale for a point lookup), global iterated squaring otherwise or
+    when the BFS's depth cap trips (closure_from returns None)."""
+    from ont_d2rq_spark.operators.closure import closure_from, transitive_closure
+
+    if mod == "?":
+        return base.distinct()
+    bound_s = s is not None and not _is_var(s)
+    bound_o = o is not None and not _is_var(o)
+    if bound_s or bound_o:
+        seed = str(s) if bound_s else str(o)
+        seeded = closure_from(base, seed, reverse=not bound_s)
+        if seeded is not None:
+            return seeded
+    return transitive_closure(base)
+
+
 def _triple_frame_closure(tdf: DataFrame, s, pth: "PathPlus", o) -> DataFrame:
     """`pred+`/`pred*`/`pred?` over a materialized triple frame — same
     semantics as VirtualGraph._closure_frame, but the edge set and the
     zero-length node universe come from the frame itself."""
-    from ont_d2rq_spark.operators.closure import transitive_closure
-
     if isinstance(pth.pred, PathGroup):
         base = bgp_over_triples(tdf, pth.pred.patterns).select(
             F.col("__cs").alias("src"), F.col("__co").alias("dst")
@@ -212,7 +233,7 @@ def _triple_frame_closure(tdf: DataFrame, s, pth: "PathPlus", o) -> DataFrame:
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
     mod = getattr(pth, "mod", "+")
-    df = base.distinct() if mod == "?" else transitive_closure(base)
+    df = _closure_of(base, s, o, mod)
     if mod in ("*", "?"):
         bound = next((t for t in (s, o) if t is not None and not _is_var(t)), None)
         if bound is not None:
@@ -1114,8 +1135,6 @@ class VirtualGraph:
         frame with the s/o terms applied.  Literal objects appear only as
         terminal nodes (they never match a subject); their datatype/lang
         companions are not carried through the closure."""
-        from ont_d2rq_spark.operators.closure import transitive_closure
-
         if isinstance(pth.pred, PathGroup):
             base = self.bgp(pth.pred.patterns).select(
                 F.col("__cs").alias("src"), F.col("__co").alias("dst")
@@ -1125,7 +1144,7 @@ class VirtualGraph:
                 F.col("__cs").alias("src"), F.col("__co").alias("dst")
             )
         mod = getattr(pth, "mod", "+")
-        df = base.distinct() if mod == "?" else transitive_closure(base)
+        df = _closure_of(base, s, o, mod)
         if mod in ("*", "?"):
             # zero-length path: a bound end prunes the identity to that
             # single term; var-var needs the graph's full node set (ARQ
@@ -1575,7 +1594,14 @@ class CachingGraph:
             self._cache[key] = hit  # re-insert = most-recently-used
             return hit
         self.misses += 1
-        df = self.graph.find(s, p, o, o_datatype, o_lang).persist(
+        # .select("*") forces a FRESH Dataset before persist: find() can
+        # return a memoized frame (the compiler's bridge_df cache) whose
+        # QueryExecution was already planned by an earlier action — a
+        # lazy val, so persisting THAT object would never retrofit the
+        # InMemoryRelation substitution and every "hit" would silently
+        # recompute.  A new Dataset plans after registration and reads
+        # the cached blocks.
+        df = self.graph.find(s, p, o, o_datatype, o_lang).select("*").persist(
             StorageLevel.MEMORY_AND_DISK
         )
         self._cache[key] = df

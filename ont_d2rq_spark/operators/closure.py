@@ -50,3 +50,58 @@ def transitive_closure(
             break
         n = n2
     return result
+
+
+def closure_from(
+    edges: DataFrame,
+    seed: str,
+    src: str = "src",
+    dst: str = "dst",
+    reverse: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame | None:
+    """Seeded reachability — all (seed, x) with a directed path
+    seed →+ x.  The scale path for a property-path pattern with a BOUND
+    endpoint (`<n> p+ ?x`, `?x p+ <n>` via ``reverse``): a frontier BFS
+    touches only the seed's reachable subgraph, where the global
+    iterated-squaring closure would materialize every node's
+    reachability set (quadratic on dense graphs) just to filter one
+    row group out of it.
+
+    Each round is one frontier-sized hash join + anti-join against the
+    reached set — the frontier is broadcast-sized in the common
+    hierarchy case, so rounds cost near-nothing beside the edge scan.
+    Rounds equal the reachable subgraph's DEPTH (not log-diameter);
+    ``max_rounds`` bounds the job count, and a frontier still alive at
+    the cap returns None — the caller falls back to the global
+    closure, which covers diameter 2^20 in 20 rounds.  A node on a
+    cycle through the seed re-enters the reached set once (anti-join),
+    so `p+` cycle semantics hold."""
+    a, b = (dst, src) if reverse else (src, dst)
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=False)
+    frontier = (
+        e.filter(F.col("src") == F.lit(seed))
+        .select(F.col("dst").alias("n"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if frontier.count() == 0:
+        return frontier.select(F.lit(seed).alias("src"), F.col("n").alias("dst"))
+    reached = frontier
+    for _ in range(max_rounds):
+        new = (
+            frontier.join(e, frontier["n"] == e["src"])
+            .select(F.col("dst").alias("n"))
+            .distinct()
+            .join(reached, "n", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if new.count() == 0:
+            out = reached.select(F.lit(seed).alias("src"), F.col("n").alias("dst"))
+            return out if not reverse else out.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        reached = reached.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    return None  # depth exceeds the cap: caller uses the global closure

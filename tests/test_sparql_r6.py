@@ -562,3 +562,72 @@ def test_nps_plus_over_explicit_triple_frame(spark):
         ("n1", "n2"), ("n1", "n3"), ("n1", "n4"),
         ("n2", "n3"), ("n2", "n4"), ("n3", "n4"),
     }
+
+
+# ---------------------------------------------------------------------------
+# seeded closure (bound-endpoint property paths): frontier BFS instead
+# of the global squaring — the global closure materializes every node's
+# reachability set to answer a one-node question
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src string, dst string")
+
+
+def test_closure_from_chain_and_reverse(spark):
+    from ont_d2rq_spark.operators.closure import closure_from
+
+    e = _edges(spark, [(f"n{i}", f"n{i+1}") for i in range(6)])
+    fwd = closure_from(e, "n2")
+    assert {(r["src"], r["dst"]) for r in fwd.collect()} == {
+        ("n2", f"n{j}") for j in range(3, 7)
+    }
+    rev = closure_from(e, "n2", reverse=True)
+    assert {(r["src"], r["dst"]) for r in rev.collect()} == {
+        (f"n{j}", "n2") for j in range(0, 2)
+    }
+
+
+def test_closure_from_cycle_reaches_seed(spark):
+    from ont_d2rq_spark.operators.closure import closure_from
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    got = {(r["src"], r["dst"]) for r in closure_from(e, "a").collect()}
+    assert got == {("a", "b"), ("a", "c"), ("a", "a"), ("a", "d")}
+
+
+def test_closure_from_no_edges_and_depth_cap(spark):
+    from ont_d2rq_spark.operators.closure import closure_from
+
+    e = _edges(spark, [("x", "y")])
+    assert closure_from(e, "z").count() == 0
+    deep = _edges(spark, [(f"n{i}", f"n{i+1}") for i in range(8)])
+    assert closure_from(deep, "n0", max_rounds=3) is None  # cap -> global path
+
+
+def test_closure_from_matches_global_on_dag(spark):
+    from ont_d2rq_spark.operators.closure import closure_from, transitive_closure
+
+    pairs = [("r", "a"), ("r", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+             ("b", "d"), ("q", "r"), ("z", "z2")]
+    e = _edges(spark, pairs)
+    seeded = {(r["src"], r["dst"]) for r in closure_from(e, "r").collect()}
+    glob = {
+        (r["src"], r["dst"])
+        for r in transitive_closure(e).filter("src = 'r'").collect()
+    }
+    assert seeded == glob and seeded  # non-empty, identical
+
+
+def test_bound_subject_path_uses_seeded_closure(graph):
+    """End-to-end: a bound-subject p+ still answers correctly through
+    the BFS path (result parity is the contract; the r3 bound-endpoint
+    tests pin the * identity semantics)."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ <{EX}nation/3> ex:inRegion+ ?x }}""",
+    )
+    got = [r["x"] for r in df.collect()]
+    assert len(got) == 1 and got[0].startswith(EX + "region/")
