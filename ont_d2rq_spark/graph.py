@@ -541,10 +541,16 @@ def _masked_compat_join(
     left_cols = set(left.columns)
     if len(compat) >= 2:
         # 4+ slices would re-execute both subtrees per slice (Spark
-        # does not share subtrees across union branches) — pay each
+        # shares no logical subtrees across union branches) — pay each
         # side once via a lazy local checkpoint.  k=1 keeps the plain
-        # plan: two slices of a pushdown-friendly tree beat one
-        # checkpoint that strips stats and pushdown.
+        # plan ON PURPOSE, even for a join-bearing left: AQE's exchange
+        # reuse already dedupes the shuffle work between the two slice
+        # branches, so the duplicated logical tree re-runs only the
+        # post-shuffle stages, while a checkpoint materializes the full
+        # wide intermediate.  Measured on the soak shape (25M-row
+        # 7-join left, x256, 8 cores): checkpoint medians 55.5/64.5 s
+        # vs re-execution 42.4/28.2 s across two interleaved A/B
+        # rounds — re-execution wins decisively.
         left = left.localCheckpoint(eager=False)
         right = right.localCheckpoint(eager=False)
     outs: list[DataFrame] = []

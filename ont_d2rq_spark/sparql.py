@@ -22,7 +22,9 @@ here the residual ops are native DataFrame ops):
                                    STRSTARTS/STRENDS/STRLEN/UCASE/LCASE/
                                    CONTAINS/SUBSTR/langMatches/STRBEFORE/
                                    STRAFTER/REPLACE (regex)/CONCAT/
-                                   ENCODE_FOR_URI/IRI/MD5/SHA1/SHA256,
+                                   ENCODE_FOR_URI/IRI/MD5/SHA1/SHA256/384/
+                                   512/isBlank/isNumeric/sameTerm/
+                                   YEAR..SECONDS/TZ/UUID/STRUUID/RAND/NOW,
                                    translated to Catalyst expressions
       FILTER [NOT] EXISTS { triple patterns }  — semi/anti join
       OPTIONAL { triple patterns [FILTER...] }  — FILTERs written inside
@@ -136,7 +138,46 @@ def _rewrite_builtins(expr: str) -> str:
     )
     e = re.sub(r"\bbound\s*\(\s*(\w+)\s*\)", r"(\1 IS NOT NULL)", e, flags=re.I)
     e = re.sub(r"\bisliteral\s*\(\s*(\w+)\s*\)", r"coalesce(\1__islit, false)", e, flags=re.I)
-    e = re.sub(r"\bisiri\s*\(\s*(\w+)\s*\)", r"(NOT coalesce(\1__islit, false))", e, flags=re.I)
+    e = re.sub(
+        r"\bisblank\s*\(\s*(\w+)\s*\)",
+        r"(NOT coalesce(\1__islit, false) AND startswith(\1, '_:'))",
+        e,
+        flags=re.I,
+    )
+    e = re.sub(
+        r"\bisiri\s*\(\s*(\w+)\s*\)",
+        r"(NOT coalesce(\1__islit, false) AND NOT startswith(\1, '_:'))",
+        e,
+        flags=re.I,
+    )
+    # isNumeric: a literal whose datatype is an XSD numeric type
+    _NUM_DTS = ", ".join(
+        f"'http://www.w3.org/2001/XMLSchema#{t}'"
+        for t in (
+            "integer", "decimal", "float", "double", "long", "int", "short",
+            "byte", "nonNegativeInteger", "nonPositiveInteger",
+            "negativeInteger", "positiveInteger", "unsignedLong",
+            "unsignedInt", "unsignedShort", "unsignedByte",
+        )
+    )
+    e = re.sub(
+        r"\bisnumeric\s*\(\s*(\w+)\s*\)",
+        # inner coalesce: a plain/lang literal has NULL __dt, and
+        # NULL IN (...) is NULL — isNumeric must say false, not NULL
+        rf"(coalesce(\1__islit, false) AND coalesce(\1__dt IN ({_NUM_DTS}), false))",
+        e,
+        flags=re.I,
+    )
+    # sameTerm: full RDF-term identity — lexical AND datatype AND lang
+    # AND literal-kind, null-safe on every companion (missing
+    # companions are NULL-filled by _ensure_companions)
+    e = re.sub(
+        r"\bsameterm\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
+        r"(\1 <=> \2 AND \1__dt <=> \2__dt AND \1__lang <=> \2__lang"
+        r" AND coalesce(\1__islit, false) <=> coalesce(\2__islit, false))",
+        e,
+        flags=re.I,
+    )
     e = re.sub(r"\bstr\s*\(\s*(\w+)\s*\)", r"\1", e, flags=re.I)
     # string builtins → Spark SQL names (SUBSTR/CONCAT/REPLACE/ABS/ROUND/
     # CEIL/FLOOR/COALESCE/IF are spelled identically and pass through)
@@ -149,6 +190,48 @@ def _rewrite_builtins(expr: str) -> str:
     # replace()
     e = re.sub(r"\breplace\s*\(", "regexp_replace(", e, flags=re.I)
     e = re.sub(r"\bsha256\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)", r"sha2(\1, 256)", e, flags=re.I)
+    e = re.sub(r"\bsha384\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)", r"sha2(\1, 384)", e, flags=re.I)
+    e = re.sub(r"\bsha512\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)", r"sha2(\1, 512)", e, flags=re.I)
+    # date/time accessors over xsd:dateTime/xsd:date lexical forms
+    # (node values are lexical strings; Spark's timestamp cast accepts
+    # the ISO 'T' separator).  TZ returns the timezone designator
+    # substring ('' when absent, 'Z' kept as written, per fn:timezone's
+    # lexical cousin)
+    for sp_fn, sql_fn in (
+        ("year", "year"), ("month", "month"), ("day", "day"),
+        ("hours", "hour"), ("minutes", "minute"),
+    ):
+        e = re.sub(
+            rf"\b{sp_fn}\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)",
+            rf"{sql_fn}(cast(\1 as timestamp))",
+            e,
+            flags=re.I,
+        )
+    # SECONDS returns xsd:decimal (fractional seconds survive)
+    e = re.sub(
+        r"\bseconds\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)",
+        r"(cast(date_format(cast(\1 as timestamp), 'ss.SSS') as decimal(9,3)))",
+        e,
+        flags=re.I,
+    )
+    e = re.sub(
+        r"\btz\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)",
+        r"coalesce(regexp_extract(\1, '(Z|[+-][0-9]{2}:[0-9]{2})$', 1), '')",
+        e,
+        flags=re.I,
+    )
+    # UUID mints a urn:uuid IRI; STRUUID the bare simple literal.
+    # RAND/NOW pass to the Spark equivalents (NOW as the xsd:dateTime
+    # lexical form; one timestamp per query per Spark semantics)
+    e = re.sub(r"\buuid\s*\(\s*\)", "concat('urn:uuid:', uuid())", e, flags=re.I)
+    e = re.sub(r"\bstruuid\s*\(\s*\)", "uuid()", e, flags=re.I)
+    e = re.sub(r"\brand\s*\(\s*\)", "rand()", e, flags=re.I)
+    e = re.sub(
+        r"\bnow\s*\(\s*\)",
+        "date_format(current_timestamp(), \"yyyy-MM-dd'T'HH:mm:ss.SSSxxx\")",
+        e,
+        flags=re.I,
+    )
     # ENCODE_FOR_URI: RFC3986 percent-encoding — url_encode is form
     # encoding, so space comes back '+' and must be mapped to %20
     e = re.sub(

@@ -230,3 +230,73 @@ def test_source_bytes_uri_paths(spark):
     # unreachable remote scheme: None, no exception
     assert c._source_bytes("hdfs://nohost-r6:9000/dim/region") is None
     assert c._broadcastable("region") is True
+
+
+def test_compat_slice_reexecutes_with_exchange_reuse(spark):
+    """r6: the one-compat-var null-mask decomposition deliberately does
+    NOT checkpoint the (possibly join-bearing) left: AQE exchange reuse
+    dedupes the shuffle work between the two slice branches, and the
+    measured A/B (soak shape, 25M-row 7-join left, x256, 8 cores) had
+    re-execution at 42.4/28.2 s medians vs 55.5/64.5 s with a
+    checkpoint.  This pins the chosen plan: duplicated logical subtree
+    (two orders scans in the optimized plan), physical ReusedExchange
+    at the join boundaries, and the correct SPARQL answer."""
+    from ont_d2rq_spark.examples import tpch_mapping
+    from ont_d2rq_spark.graph import VirtualGraph
+    from ont_d2rq_spark.sparql import execute
+
+    g = VirtualGraph(tpch_mapping(SF), spark)
+    q = """PREFIX ex: <http://example.org/>
+    SELECT ?o ?c ?n ?r ?rn WHERE {
+        ?o ex:placedBy ?c .
+        ?c ex:inNation ?n .
+        ?n ex:inRegion+ ?r .
+        OPTIONAL { ?r ex:name ?rn . FILTER(?rn != "ASIA") }
+        OPTIONAL { ?r2 ex:name ?rn . ?r2 a ex:Region }
+    }"""
+    df = execute(g, q)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    # one orders relation per slice branch (toString drops file paths —
+    # count the relation by its column signature)
+    assert len(re.findall(r"Relation \[o_orderkey", lp)) == 2
+    # no checkpoint of the wide solution frame (the closure's tiny
+    # src/dst LogicalRDD is the only materialized node)
+    assert not re.search(r"LogicalRDD \[(?!src#)", lp)
+    # sanity: result unchanged — an ASIA order's ?rn is unbound (the
+    # OPTIONAL-1 filter fails), so it is compatible with all 5 region
+    # names in OPTIONAL 2; every other order matches exactly its own
+    import duckdb
+
+    total, asia = duckdb.sql(
+        f"""SELECT count(*),
+                   count(*) FILTER (r.r_name = 'ASIA')
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            JOIN '{SF}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+            JOIN '{SF}/region.parquet' r ON n.n_regionkey = r.r_regionkey
+            WHERE o.o_orderstatus <> 'P'  -- the classmap's d2rq:condition"""
+    ).fetchone()
+    assert df.count() == (total - asia) + asia * 5
+
+
+def test_compat_slice_keeps_pushdown_for_scan_left(spark):
+    """Control: a scan-shaped left stays unmaterialized, so each slice
+    pushes its isNull/isNotNull filter toward the scan (no LogicalRDD
+    in the plan)."""
+    from ont_d2rq_spark.examples import tpch_mapping
+    from ont_d2rq_spark.graph import VirtualGraph
+    from ont_d2rq_spark.sparql import execute
+
+    g = VirtualGraph(tpch_mapping(SF), spark)
+    q = """PREFIX ex: <http://example.org/>
+    SELECT ?r ?rn WHERE {
+        ?r a ex:Region .
+        OPTIONAL { ?r ex:name ?rn . FILTER(?rn != "ASIA") }
+        OPTIONAL { ?r2 ex:name ?rn . ?r2 a ex:Region }
+    }"""
+    df = execute(g, q)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in lp  # scan-left: no checkpoint
+    # 4 non-ASIA regions keep their own name; ASIA's unbound ?rn is
+    # compatible with all 5 names
+    assert df.count() == 4 + 5

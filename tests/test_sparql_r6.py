@@ -631,3 +631,102 @@ def test_bound_subject_path_uses_seeded_closure(graph):
     )
     got = [r["x"] for r in df.collect()]
     assert len(got) == 1 and got[0].startswith(EX + "region/")
+
+
+# ---------------------------------------------------------------------------
+# round-6 builtin surface: isBlank/isNumeric/sameTerm, date accessors,
+# SHA384/512, UUID/STRUUID/RAND/NOW
+# ---------------------------------------------------------------------------
+
+
+def test_builtin_isblank_isiri_split(graph):
+    """isIRI is FALSE for blank nodes (spec 17.4.2.1/2); the customer
+    display bnodes... this mapping has IRI subjects only, so assert on
+    the fuzz-style explicit check via BIND over IRIs and literals."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?r ?i ?b ?lit WHERE {{
+          ?r a ex:Region . ?r ex:name ?n .
+          BIND(isIRI(?r) AS ?i) BIND(isBlank(?r) AS ?b)
+          BIND(isLiteral(?n) AS ?lit)
+        }} LIMIT 1""",
+    )
+    row = df.collect()[0]
+    assert row["i"] is True and row["b"] is False and row["lit"] is True
+
+
+def test_builtin_isnumeric(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?c WHERE {{
+          ?c a ex:Customer . ?c ex:acctbal ?bal . ?c ex:name ?n .
+          FILTER(isNumeric(?bal) && !isNumeric(?n))
+        }}""",
+    )
+    assert df.count() == 150  # every acctbal is xsd:decimal, names are strings
+
+
+def test_builtin_sameterm_lang_sensitive(graph):
+    """sameTerm('x'@en, 'x') is FALSE even though lexical forms match:
+    customer names carry @en, supplier names are plain."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?cn ?sn WHERE {{
+          ?c a ex:Customer . ?c ex:name ?cn .
+          ?s a ex:Supplier . ?s ex:name ?sn .
+          FILTER(sameTerm(?cn, ?sn))
+        }}""",
+    )
+    assert df.count() == 0
+    same = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?a WHERE {{
+          ?r a ex:Region . ?r ex:name ?a . ?r2 ex:name ?b .
+          ?r2 a ex:Region . FILTER(sameTerm(?a, ?b) && ?r = ?r2)
+        }}""",
+    )
+    assert same.count() == 5
+
+
+def test_builtin_date_accessors(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?y ?m ?d WHERE {{
+          ?o a ex:Order . ?o ex:orderDate ?dt .
+          BIND(YEAR(?dt) AS ?y) BIND(MONTH(?dt) AS ?m) BIND(DAY(?dt) AS ?d)
+        }} LIMIT 5""",
+    )
+    for r in df.collect():
+        assert 1992 <= int(r["y"]) <= 1998 and 1 <= int(r["m"]) <= 12
+        assert 1 <= int(r["d"]) <= 31
+
+
+def test_builtin_hashes_and_uuid(graph):
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?h384 ?h512 ?u ?su ?rnd WHERE {{
+          ?r a ex:Region . ?r ex:name ?n .
+          BIND(SHA384(?n) AS ?h384) BIND(SHA512(?n) AS ?h512)
+          BIND(UUID() AS ?u) BIND(STRUUID() AS ?su) BIND(RAND() AS ?rnd)
+        }} LIMIT 2""",
+    )
+    rows = df.collect()
+    assert len(rows[0]["h384"]) == 96 and len(rows[0]["h512"]) == 128
+    assert rows[0]["u"].startswith("urn:uuid:") and len(rows[0]["su"]) == 36
+    assert 0.0 <= float(rows[0]["rnd"]) < 1.0
+    assert rows[0]["u"] != rows[1]["u"]  # fresh per solution
+
+
+def test_builtin_tz_and_seconds():
+    from ont_d2rq_spark.sparql import _rewrite_builtins
+
+    e = _rewrite_builtins("TZ(?d) = 'Z' && SECONDS(?d) > 10")
+    assert "regexp_extract" in e and "date_format" in e
+    e2 = _rewrite_builtins("NOW() > ?d")
+    assert "current_timestamp()" in e2
