@@ -524,54 +524,122 @@ def _masked_compat_join(
     filters,
     how: str,
 ) -> DataFrame:
-    """Hash-joinable decomposition of the SPARQL compatibility join
-    (see optional_join): the RIGHT side is known to always bind the
-    compat vars, so left rows partition disjointly by which compat
-    vars they leave NULL.  Each slice joins with plain equality on the
-    vars it binds (no condition at all on its NULL vars — unbound is
-    compatible with every binding) and adopts the right side's values
-    for them; the union of slices is exactly the isNull-or-equal
-    non-equi join, without ever forcing Catalyst into a
-    BroadcastNestedLoopJoin over the full input.  ``right`` arrives
-    with its shared columns (and compat companions) already renamed to
-    __lj_*."""
+    """Hash-joinable SPARQL compatibility join for the dominant shape —
+    the RIGHT side always binds the compat vars (an OPTIONAL body BGP),
+    only the LEFT may leave them unbound.
+
+    Strategy (r6): move the 2^k expansion to the SMALL side.  The right
+    frame cross-joins a 2^k-row mask frame (one row per subset m of the
+    compat vars); copy m carries sentinel join keys __cjk_c = SENTINEL
+    for c in m, else the right value.  The left joins ONCE with keys
+    coalesce(left.c, SENTINEL) == __cjk_c: a left row whose null-set is
+    exactly M matches exactly the m == M copies, which is precisely the
+    slice-decomposition semantics (unbound is compatible with every
+    binding, bound vars need equality) — but the BIG left is streamed
+    once through one hash join, never sliced, never re-executed, and
+    never checkpointed.  When the expanded right is broadcast-sized the
+    whole compatibility join is shuffle-free.
+
+    History: round-5 sliced the LEFT 2^k ways and unioned; the soak
+    shape then re-executed its 25M-row 7-join left per slice (measured
+    42.4/28.2 s medians), and checkpointing the left instead was WORSE
+    (55.5/64.5 s — wide-frame materialization).  The key-expansion join
+    replaces both.
+
+    Skew note: every left row with all compat vars NULL shares one
+    sentinel key component; with a broadcast right that is moot (no
+    shuffle), and for a shuffled join AQE's skew-join splitting covers
+    it.  Sentinel collision with real data would need a lexical value
+    containing NUL bytes — impossible for minted URIs and
+
+    vanishingly unlikely for literals.
+
+    ``right`` arrives with its shared columns (and compat companions)
+    already renamed to __lj_*."""
     from itertools import combinations
 
     right_cols = set(right.columns)
     left_cols = set(left.columns)
-    if len(compat) >= 2:
-        # 4+ slices would re-execute both subtrees per slice (Spark
-        # shares no logical subtrees across union branches) — pay each
-        # side once via a lazy local checkpoint.  k=1 keeps the plain
-        # plan ON PURPOSE, even for a join-bearing left: AQE's exchange
-        # reuse already dedupes the shuffle work between the two slice
-        # branches, so the duplicated logical tree re-runs only the
-        # post-shuffle stages, while a checkpoint materializes the full
-        # wide intermediate.  Measured on the soak shape (25M-row
-        # 7-join left, x256, 8 cores): checkpoint medians 55.5/64.5 s
-        # vs re-execution 42.4/28.2 s across two interleaved A/B
-        # rounds — re-execution wins decisively.
-        left = left.localCheckpoint(eager=False)
-        right = right.localCheckpoint(eager=False)
-    outs: list[DataFrame] = []
+    sent = "\x00\x00__sparql_adopt__\x00"
+    # expand via explode of a LITERAL mask array, not a crossJoin with
+    # a local mask frame: a LogicalRDD has no stats, and an
+    # unknown-size subtree would disqualify the expanded right from the
+    # broadcast strategy — the entire point of putting the 2^k factor
+    # on the small side
+    mask_structs = []
     for k in range(len(compat) + 1):
         for null_vars in combinations(compat, k):
             m = set(null_vars)
-            sl = left
-            for c in compat:
-                sl = sl.filter(F.col(c).isNull() if c in m else F.col(c).isNotNull())
-            cond = F.lit(True)
-            for c in shared:
-                if c not in m:
-                    cond = cond & (F.col(c) == F.col("__lj_" + c))
-            for f in filters:
-                # per-slice the merged binding is KNOWN: a NULL compat
-                # var adopts the right value, a bound one keeps the left
-                cond = cond & F.expr(
-                    _rewrite_slice_filter(f, compat, m, left_cols, right_cols)
+            mask_structs.append(
+                F.struct(
+                    *[
+                        F.lit(c in m).alias(f"m_{i}")
+                        for i, c in enumerate(compat)
+                    ],
+                    F.lit(",".join(sorted(m)) or "-").alias("tag"),
                 )
-            outs.append(_adopt_slice(sl.join(right, cond, how), compat, m))
-    return reduce(lambda a, b: a.unionByName(b), outs)
+            )
+    rx = right.withColumn("__cj", F.explode(F.array(*mask_structs)))
+    rx = rx.withColumn("__cj_tag", F.col("__cj.tag"))
+    for i, c in enumerate(compat):
+        # keys compare as STRINGS: a non-string compat column (the
+        # internal `_m` zero-var marker is an int) must not force an
+        # ANSI cast of the sentinel
+        rx = rx.withColumn(
+            f"__cjk_{c}",
+            F.when(F.col(f"__cj.m_{i}"), F.lit(sent)).otherwise(
+                F.col("__lj_" + c).cast("string")
+            ),
+        )
+    rx = rx.drop("__cj")
+    cond = F.lit(True)
+    for c in shared:
+        if c in compat:
+            cond = cond & (
+                F.coalesce(F.col(c).cast("string"), F.lit(sent))
+                == F.col(f"__cjk_{c}")
+            )
+        else:
+            cond = cond & (F.col(c) == F.col("__lj_" + c))
+    if filters:
+        # the merged binding is KNOWN per right copy: dispatch the
+        # per-m rewritten filter on the copy tag (Catalyst still
+        # extracts the equi-keys; the dispatch is a post-join residual)
+        disp = F.lit(False)
+        for k in range(len(compat) + 1):
+            for null_vars in combinations(compat, k):
+                m = set(null_vars)
+                tag = ",".join(sorted(m)) or "-"
+                fm = F.lit(True)
+                for f in filters:
+                    fm = fm & F.expr(
+                        _rewrite_slice_filter(f, compat, m, left_cols, right_cols)
+                    )
+                disp = disp | ((F.col("__cj_tag") == tag) & fm)
+        cond = cond & disp
+    out = left.join(rx, cond, how)
+    # uniform post-join merge: a left-NULL compat var adopts the right
+    # value and companions (companions computed BEFORE c is overwritten)
+    for c in compat:
+        for suf in _COMPANION_SUFFIXES:
+            rc, lc = f"__lj_{c}{suf}", f"{c}{suf}"
+            if rc not in out.columns:
+                continue
+            left_ref = (
+                F.col(lc)
+                if lc in out.columns
+                else (
+                    F.lit(False).cast("boolean")
+                    if suf == "__islit"
+                    else F.lit(None).cast("string")
+                )
+            )
+            out = out.withColumn(
+                lc, F.when(F.col(c).isNull(), F.col(rc)).otherwise(left_ref)
+            )
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col("__lj_" + c)))
+    drop = [c for c in out.columns if c.startswith(("__lj_", "__cjk_", "__cj_m_"))]
+    return out.drop(*drop, "__cj_tag")
 
 
 def _masked_compat_join_sym(
@@ -689,14 +757,13 @@ def optional_join(
 
     When the nullable side is ONLY the left (the dominant case — the
     right side of an OPTIONAL is a BGP that always binds its vars),
-    the join is DECOMPOSED into hash-joinable slices instead of a
-    non-equi isNull-or-equal condition: left rows partition by which
-    compat vars are actually NULL (2^k disjoint slices, k ≤ 3), each
-    slice joins with plain equality on its bound vars, and the union
-    of slices is exactly the compatibility join — at scale everything
-    stays hash-partitioned and only the all-shared-null slice (usually
-    tiny) can pay a cross join.  Right-nullable compat vars (or > 3 of
-    them) take the symmetric isNull-or-equal fallback.
+    the join runs as ONE hash join with sentinel key expansion on the
+    SMALL side (_masked_compat_join): the right side is replicated 2^k
+    ways (k ≤ 3 compat vars) with sentinel join keys, so a left row
+    whose null-set is M matches exactly the m == M copy — the big left
+    streams once, unsliced, and the join broadcasts when the expanded
+    right is small.  Right-nullable compat vars (or > 3 of them) take
+    the symmetric slice decomposition.
 
     With no filters and no maybe-unbound shared vars this degrades to
     the plain shared-variable left join (constant-true condition when
@@ -1074,6 +1141,83 @@ class VirtualGraph:
         shorter, longer = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
         return longer.startswith(shorter)
 
+    def var_spec_domains(self, patterns) -> dict:
+        """Per-variable candidate NodeSpec domain of a pattern list —
+        {var: [(spec, cb), ...]} for every var whose domain is provably
+        bounded.  This is URIMakerRule pruning lifted ACROSS group
+        boundaries: an OPTIONAL/MINUS/UNION body that shares a var with
+        the outer group can drop candidate bridges that could never
+        mint a node the outer group produces (the soak shape's
+        `OPTIONAL { ?r ex:name ?rn }` keeps only the region name bridge
+        once the outer closure pins ?r to region URIs — a 3.9M-row
+        union becomes 5 broadcastable rows).
+
+        Closure patterns (`p+`) bound their endpoints via the base
+        pattern's subject/object specs (a path always starts at a base
+        subject and ends at a base object); `p*`/`p?` endpoints are
+        UNBOUNDED (zero-length identity ranges over every graph node)
+        and excluded.  A var is mapped only when every pattern binding
+        it yields a candidate list; the tightest list wins."""
+        meta: dict[int, list] = {}
+        domains: dict[str, list] = {}
+        unknown: set = set()
+        for idx, (s, p, o) in enumerate(patterns):
+            if isinstance(p, PathPlus):
+                if getattr(p, "mod", "+") != "+":
+                    unknown |= {_var_name(t) for t in (s, o) if t is not None and _is_var(t)}
+                    continue
+                base = (
+                    p.pred.patterns
+                    if isinstance(p.pred, PathGroup)
+                    else [("?__cs", p.pred, "?__co")]
+                )
+                sub = self.var_spec_domains(base)
+                for term, end in ((s, "__cs"), (o, "__co")):
+                    if term is not None and _is_var(term):
+                        v = _var_name(term)
+                        if end in sub:
+                            domains.setdefault(v, sub[end])
+                        else:
+                            unknown.add(v)
+                continue
+            p_options = p if isinstance(p, tuple) else (p,)
+            if isinstance(p, NegatedSet):
+                unknown |= {_var_name(t) for t in (s, o) if t is not None and _is_var(t)}
+                continue
+            cands = []
+            for popt in p_options:
+                for cb in self.bridges:
+                    try:
+                        for spec, term, col in (
+                            (cb.subject, s, "subj"),
+                            (cb.predicate, popt, "pred"),
+                            (cb.object, o, "obj"),
+                        ):
+                            if term is not None and not _is_var(term):
+                                self._bind(cb, spec, term, col)
+                    except _Prune:
+                        continue
+                    varspecs = {}
+                    for spec, term in (
+                        (cb.subject, s),
+                        (cb.predicate, popt),
+                        (cb.object, o),
+                    ):
+                        if term is not None and _is_var(term):
+                            varspecs.setdefault(_var_name(term), spec)
+                    cands.append({"cb": cb, "varspecs": varspecs})
+            meta[idx] = cands
+        self._prune_join_incompatible(meta)
+        for cands in meta.values():
+            per_var: dict[str, list] = {}
+            for c in cands:
+                for v, spec in c["varspecs"].items():
+                    per_var.setdefault(v, []).append((spec, c["cb"]))
+            for v, lst in per_var.items():
+                if v not in domains or len(lst) < len(domains[v]):
+                    domains[v] = lst
+        return {v: lst for v, lst in domains.items() if v not in unknown and lst}
+
     def _prune_join_incompatible(self, meta: dict) -> None:
         """Fixpoint: a candidate survives only if, for every variable it
         shares with another pattern, SOME candidate of that pattern is
@@ -1197,6 +1341,7 @@ class VirtualGraph:
         patterns: Sequence[tuple],
         filters: Optional[Sequence[str]] = None,
         optional: Optional[Sequence[Sequence[tuple]]] = None,
+        outer_specs: Optional[dict] = None,
     ) -> DataFrame:
         """Basic graph pattern → joined DataFrame of variable bindings.
 
@@ -1287,6 +1432,26 @@ class VirtualGraph:
                         }
                     )
             meta[idx] = cands
+        if outer_specs:
+            # cross-group URIMakerRule (var_spec_domains): a candidate
+            # whose spec for a shared var can never mint a node the
+            # OUTER group produces is dead — the join that follows this
+            # group would drop every row it contributes.  Pruning here
+            # turns e.g. an all-name-bridges union into the one bridge
+            # the outer var can reach (and thereby into a broadcast).
+            for idx, cands in meta.items():
+                meta[idx] = [
+                    c
+                    for c in cands
+                    if all(
+                        any(
+                            self._join_compatible(c["varspecs"][v], c["cb"], ospec, ocb)
+                            for ospec, ocb in outer_specs[v]
+                        )
+                        for v in c["varspecs"]
+                        if v in outer_specs
+                    )
+                ]
         self._prune_join_incompatible(meta)
 
         frames: list[DataFrame] = []

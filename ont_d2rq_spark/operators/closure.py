@@ -26,9 +26,17 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """→ all (src, dst) connected by a directed path of length ≥ 1
-    (a node on a cycle reaches itself, per SPARQL `p+` semantics)."""
+    (a node on a cycle reaches itself, per SPARQL `p+` semantics).
+
+    The result is a localCheckpoint'd RDD, which carries NO Catalyst
+    stats — a small closure (the common type-tree / geo-hierarchy
+    case) would silently lose broadcast eligibility and drag a
+    low-cardinality SortMergeJoin over whatever joins it.  The
+    convergence loop knows the exact row count, so a result under
+    ``broadcast_rows`` self-hints broadcast."""
     e = edges.select(src, dst).distinct()
     e = e.localCheckpoint(eager=False)
     n = e.count()  # materializes the seed
@@ -49,7 +57,7 @@ def transitive_closure(
         if n2 == n:
             break
         n = n2
-    return result
+    return F.broadcast(result) if n <= broadcast_rows else result
 
 
 def closure_from(
@@ -99,9 +107,9 @@ def closure_from(
         )
         if new.count() == 0:
             out = reached.select(F.lit(seed).alias("src"), F.col("n").alias("dst"))
-            return out if not reverse else out.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+            if reverse:
+                out = out.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            return F.broadcast(out)  # seeded reach sets are point-lookup sized
         reached = reached.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return None  # depth exceeds the cap: caller uses the global closure

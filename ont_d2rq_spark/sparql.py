@@ -132,7 +132,12 @@ def _rewrite_builtins(expr: str) -> str:
     e = re.sub(r"\blang\s*\(\s*(\w+)\s*\)", r"coalesce(\1__lang, '')", e, flags=re.I)
     e = re.sub(
         r"\bdatatype\s*\(\s*(\w+)\s*\)",
-        rf"coalesce(\1__dt, CASE WHEN \1__islit THEN '{XSD_STRING}' END)",
+        # RDF 1.1 / SPARQL 17.4.2.7: a language-tagged literal's
+        # datatype is rdf:langString (its __dt companion is NULL);
+        # a plain literal IS xsd:string
+        rf"(CASE WHEN nullif(\1__lang, '') IS NOT NULL"
+        rf" THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'"
+        rf" ELSE coalesce(\1__dt, CASE WHEN \1__islit THEN '{XSD_STRING}' END) END)",
         e,
         flags=re.I,
     )
@@ -1589,7 +1594,22 @@ def _where_content(q: Query) -> bool:
     )
 
 
-def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=None):
+def _outer_domains(graph, q, bgp_fn):
+    """Cross-group URIMakerRule input: the per-var candidate spec
+    domains of this group's ALWAYS-BOUND top-level patterns (only those
+    — a var bound by an OPTIONAL may be unbound in some outer row,
+    where it is compatible with ANY body value and must not prune).
+    Best-effort: pruning is an optimization, never a failure path."""
+    try:
+        if q.patterns and bgp_fn == graph.bgp and hasattr(graph, "var_spec_domains"):
+            return graph.var_spec_domains(q.patterns) or None
+    except Exception:
+        return None
+    return None
+
+
+def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=None,
+                outer_specs=None):
     """Evaluate the WHERE-clause content of ``q`` -> (bindings frame or
     None, maybe-unbound variable set).  RECURSIVE: OPTIONAL / UNION /
     MINUS / FILTER-EXISTS / GRAPH bodies are full Query groups that
@@ -1625,14 +1645,21 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=Non
     if known_vars is None:
         known_vars = _q_all_vars(q) | q.expr_vars
     maybe_unbound: set = set()
-    df = bgp_fn(q.patterns) if q.patterns else None
+    if q.patterns and outer_specs and bgp_fn == graph.bgp:
+        df = bgp_fn(q.patterns, outer_specs=outer_specs)
+    elif q.patterns:
+        df = bgp_fn(q.patterns)
+    else:
+        df = None
+    body_specs = _outer_domains(graph, q, bgp_fn)
 
     # { A } UNION { B }: branches evaluate recursively; a var missing
     # from (or maybe-unbound inside) any branch is maybe-unbound
     if q.union:
         parts, part_maybes = [], []
         for branch in q.union:
-            b, bm = _eval_where(graph, branch, bgp_fn, known_vars=known_vars)
+            b, bm = _eval_where(graph, branch, bgp_fn, known_vars=known_vars,
+                                outer_specs=body_specs)
             parts.append(b if b is not None else _unit_frame(graph))
             part_maybes.append(bm)
         u = _reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
@@ -1671,7 +1698,8 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=Non
     # deferral previous rounds kept via optionals_consumed).
     def _apply_optionals(df, mu):
         for oq in q.optional:
-            rdf, sub_maybe = _eval_where(graph, oq, bgp_fn, skip_filters=True, known_vars=known_vars)
+            rdf, sub_maybe = _eval_where(graph, oq, bgp_fn, skip_filters=True,
+                                         known_vars=known_vars, outer_specs=body_specs)
             if rdf is None:
                 continue
             shared_bound = {
@@ -1840,7 +1868,8 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=Non
     # filter referencing an OUTER variable sees the outer row's
     # binding (deeper-nested filters stay group-local).
     for neg, eq in q.exists:
-        sub, sub_maybe = _eval_where(graph, eq, bgp_fn, skip_filters=True, known_vars=known_vars)
+        sub, sub_maybe = _eval_where(graph, eq, bgp_fn, skip_filters=True,
+                                     known_vars=known_vars, outer_specs=body_specs)
         if sub is None:
             sub = _unit_frame(graph)
         efilts = [
@@ -1909,7 +1938,8 @@ def _eval_where(graph, q: Query, bgp_fn=None, skip_filters=False, known_vars=Non
     # per SPARQL MINUS semantics on disjoint domains); removal requires
     # a compatible solution AND dom(mu1) int dom(mu2) != empty
     for mq in q.minus:
-        sub, sub_maybe = _eval_where(graph, mq, bgp_fn, known_vars=known_vars)
+        sub, sub_maybe = _eval_where(graph, mq, bgp_fn, known_vars=known_vars,
+                                     outer_specs=body_specs)
         if sub is None:
             continue
         shared = [c for c in df.columns if c in sub.columns and not _is_companion(c)]

@@ -232,15 +232,14 @@ def test_source_bytes_uri_paths(spark):
     assert c._broadcastable("region") is True
 
 
-def test_compat_slice_reexecutes_with_exchange_reuse(spark):
-    """r6: the one-compat-var null-mask decomposition deliberately does
-    NOT checkpoint the (possibly join-bearing) left: AQE exchange reuse
-    dedupes the shuffle work between the two slice branches, and the
-    measured A/B (soak shape, 25M-row 7-join left, x256, 8 cores) had
-    re-execution at 42.4/28.2 s medians vs 55.5/64.5 s with a
-    checkpoint.  This pins the chosen plan: duplicated logical subtree
-    (two orders scans in the optimized plan), physical ReusedExchange
-    at the join boundaries, and the correct SPARQL answer."""
+def test_compat_join_streams_left_once(spark):
+    """r6: the one-sided compatibility join expands the SMALL side with
+    sentinel keys and streams the big left through ONE hash join — the
+    left tree appears exactly once in the plan (round-5's left-slicing
+    re-executed the soak shape's 25M-row 7-join left per slice, and
+    checkpointing it instead measured even worse: 55.5/64.5 s vs
+    42.4/28.2 s re-execution vs ~half the task work with key
+    expansion)."""
     from ont_d2rq_spark.examples import tpch_mapping
     from ont_d2rq_spark.graph import VirtualGraph
     from ont_d2rq_spark.sparql import execute
@@ -256,12 +255,13 @@ def test_compat_slice_reexecutes_with_exchange_reuse(spark):
     }"""
     df = execute(g, q)
     lp = df._jdf.queryExecution().optimizedPlan().toString()
-    # one orders relation per slice branch (toString drops file paths —
+    # the big left tree appears ONCE (toString drops file paths —
     # count the relation by its column signature)
-    assert len(re.findall(r"Relation \[o_orderkey", lp)) == 2
-    # no checkpoint of the wide solution frame (the closure's tiny
-    # src/dst LogicalRDD is the only materialized node)
-    assert not re.search(r"LogicalRDD \[(?!src#)", lp)
+    assert len(re.findall(r"Relation \[o_orderkey", lp)) == 1
+    # no checkpoint of the wide solution frame (the only local
+    # relations are the closure's tiny src/dst RDD and the 2^k-row
+    # compat mask frames)
+    assert not re.search(r"LogicalRDD \[(?!src#|__cj_m_)", lp)
     # sanity: result unchanged — an ASIA order's ?rn is unbound (the
     # OPTIONAL-1 filter fails), so it is compatible with all 5 region
     # names in OPTIONAL 2; every other order matches exactly its own
@@ -296,7 +296,9 @@ def test_compat_slice_keeps_pushdown_for_scan_left(spark):
     }"""
     df = execute(g, q)
     lp = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "LogicalRDD" not in lp  # scan-left: no checkpoint
+    # scan-left: no checkpoint of either side (the only local relation
+    # is the compat mask frame)
+    assert not re.search(r"LogicalRDD \[(?!__cj_m_)", lp)
     # 4 non-ASIA regions keep their own name; ASIA's unbound ?rn is
     # compatible with all 5 names
     assert df.count() == 4 + 5

@@ -222,9 +222,14 @@ def test_compat_join_decomposed_group_filter(spark):
 
 
 def test_compat_join_decomposition_is_hash_joinable(spark):
-    """With another always-bound shared var present, NO slice needs a
-    nested-loop join — the r4 plan had one BroadcastNestedLoopJoin over
-    the full input for the same query shape."""
+    """The compatibility join itself must be HASH-based over the big
+    left (the r4 plan had a BroadcastNestedLoopJoin over the full input
+    for this shape; r6's sentinel key expansion makes it one equi-join
+    on [n, coalesce(r, SENTINEL)]).  The only nested-loop allowed is
+    the 2^k-row mask expansion of the SMALL side (a broadcast cross
+    with the __cj_m mask frame)."""
+    import re
+
     left = spark.createDataFrame([("a", "r1"), ("b", None)], "n string, r string")
     right = spark.createDataFrame(
         [("a", "r1", "x1"), ("b", "r3", "x3")], "n string, r string, x string"
@@ -235,8 +240,15 @@ def test_compat_join_decomposition_is_hash_joinable(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[n#\d+, coalesce\(r#",
+        plan,
+    ), plan
     assert "CartesianProduct" not in plan
+    # any BNLJ is the tiny mask cross, never over the left input
+    for m in re.finditer(r"BroadcastNestedLoopJoin.*", plan):
+        tail = plan[m.start():]
+        assert "__cj_m_" in tail[:600], plan
 
 
 def test_compat_join_right_nullable_falls_back_symmetric(spark):

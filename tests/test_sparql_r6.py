@@ -730,3 +730,20 @@ def test_builtin_tz_and_seconds():
     assert "regexp_extract" in e and "date_format" in e
     e2 = _rewrite_builtins("NOW() > ?d")
     assert "current_timestamp()" in e2
+
+
+def test_builtin_datatype_lang_literal_is_langstring(graph):
+    """RDF 1.1: DATATYPE('x'@en) = rdf:langString (17.4.2.7) — customer
+    names carry @en; supplier names are plain xsd:string."""
+    df = execute(
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?dc ?ds WHERE {{
+          ?c a ex:Customer . ?c ex:name ?cn .
+          ?s a ex:Supplier . ?s ex:name ?sn .
+          BIND(DATATYPE(?cn) AS ?dc) BIND(DATATYPE(?sn) AS ?ds)
+        }} LIMIT 1""",
+    )
+    row = df.collect()[0]
+    assert row["dc"] == "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    assert row["ds"] == "http://www.w3.org/2001/XMLSchema#string"
