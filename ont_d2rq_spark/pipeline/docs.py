@@ -189,6 +189,14 @@ def _extract_entity_mentions(texts: pd.Series) -> pd.Series:
     return (cust + topics).where(texts.notna(), other=None)
 
 
+# The function is pure, but the optimizer pushes the explode's implicit
+# size>0 filter below the projection and then evaluates the UDF TWICE
+# (two ArrowEvalPython nodes, once under the pushed filter and once in
+# the projection — guide §4.4).  Marking it non-deterministic forbids
+# the duplication: one ArrowEvalPython, identical results.
+_extract_entity_mentions = _extract_entity_mentions.asNondeterministic()
+
+
 def detect_mentions(docs: DataFrame) -> DataFrame:
     """→ (doc_id, offset, mention) — one row per mention occurrence."""
     spans = docs.select(
@@ -221,38 +229,46 @@ def link_entities(
         spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
     )
     is_cust = F.col("mention").rlike("^" + _MENTION_RE + "$")
-    cust_m = (
-        mentions.filter(is_cust)
-        .withColumn("k", F.regexp_extract("mention", r"(\d{9})$", 1).cast("bigint"))
-        .join(cust, F.col("k") == F.col("c_custkey"), "inner")
-        .withColumn(
-            "score",
-            F.round(
-                1
-                - F.levenshtein("mention", "c_name")
-                / F.greatest(F.length("mention"), F.length("c_name")),
-                6,
-            ),
-        )
-        .select(
-            "doc_id",
-            "offset",
-            "mention",
-            F.concat(F.lit(EX + "customer/"), F.col("c_custkey")).alias("entity_uri"),
-            "score",
-        )
-    )
     topic_map = F.create_map(
         *[x for t in TOPIC_TERMS for x in (F.lit(t), F.lit(EX + "topic/" + t))]
     )
-    topic_m = (
-        mentions.filter(~is_cust)
-        .withColumn("entity_uri", F.element_at(topic_map, F.col("mention")))
+    # ONE pass over mentions (was: two filtered branches + union, which
+    # doubled the scan of the mention cache and the downstream partition
+    # count).  The broadcast dim joins on the parsed key (NULL for topic
+    # mentions, so topic rows pass through the left join unmatched);
+    # customer-mention semantics stay inner-join via the entity_uri
+    # NULL filter.  Row set is identical to the old union.
+    m = mentions.withColumn(
+        "k",
+        F.when(is_cust, F.regexp_extract("mention", r"(\d{9})$", 1).cast("bigint")),
+    ).join(cust, F.col("k") == F.col("c_custkey"), "left")
+    entity_uri = F.when(
+        is_cust,
+        F.when(
+            F.col("c_custkey").isNotNull(),
+            F.concat(F.lit(EX + "customer/"), F.col("c_custkey")),
+        ),
+    ).otherwise(F.element_at(topic_map, F.col("mention")))
+    score = F.when(
+        is_cust,
+        F.round(
+            1
+            - F.levenshtein("mention", "c_name")
+            / F.greatest(F.length("mention"), F.length("c_name")),
+            6,
+        ),
+    ).otherwise(F.lit(1.0))
+    return (
+        m.select(
+            "doc_id",
+            "offset",
+            "mention",
+            entity_uri.alias("entity_uri"),
+            score.alias("score"),
+        )
         .filter(F.col("entity_uri").isNotNull())
-        .withColumn("score", F.lit(1.0))
-        .select("doc_id", "offset", "mention", "entity_uri", "score")
+        .filter(F.col("score") >= min_score)
     )
-    return cust_m.unionByName(topic_m).filter(F.col("score") >= min_score)
 
 
 def mention_triples(links: DataFrame) -> DataFrame:
@@ -265,23 +281,29 @@ def mention_triples(links: DataFrame) -> DataFrame:
         F.lit(EX + "entity/"),
         F.url_encode(F.col("mention")),
     )
-    mention_t = links.select(
-        doc_uri.alias("subj"),
-        F.lit(EX + "mentions").alias("pred"),
-        alias_uri.alias("obj"),
-        F.lit(None).cast("string").alias("obj_datatype"),
-        F.lit(None).cast("string").alias("obj_lang"),
-        F.lit(False).alias("is_literal"),
+    nul = F.lit(None).cast("string")
+    # ONE pass: each link row explodes into its two triples (was: two
+    # projections + union = two scans of the links cache and double the
+    # output partition count)
+    pair = F.array(
+        F.struct(
+            doc_uri.alias("subj"),
+            F.lit(EX + "mentions").alias("pred"),
+            alias_uri.alias("obj"),
+            nul.alias("obj_datatype"),
+            nul.alias("obj_lang"),
+            F.lit(False).alias("is_literal"),
+        ),
+        F.struct(
+            alias_uri.alias("subj"),
+            F.lit(OWL_SAMEAS).alias("pred"),
+            F.col("entity_uri").alias("obj"),
+            nul.alias("obj_datatype"),
+            nul.alias("obj_lang"),
+            F.lit(False).alias("is_literal"),
+        ),
     )
-    sameas_t = links.select(
-        alias_uri.alias("subj"),
-        F.lit(OWL_SAMEAS).alias("pred"),
-        F.col("entity_uri").alias("obj"),
-        F.lit(None).cast("string").alias("obj_datatype"),
-        F.lit(None).cast("string").alias("obj_lang"),
-        F.lit(False).alias("is_literal"),
-    )
-    return mention_t.unionByName(sameas_t)
+    return links.select(F.explode(pair).alias("t")).select("t.*")
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +345,7 @@ def build_kg(
         rewrite_triples_canonical,
     )
 
-    def stage(name, compute, **kw):
+    def stage(name, compute, materialize=False, **kw):
         if root is None:
             # uncheckpointed mode: persist instead — each stage output is
             # consumed by 2+ downstream stages (integrity + mentions;
@@ -331,13 +353,30 @@ def build_kg(
             # the synthesis/UDF chain per consumer
             from pyspark import StorageLevel
 
-            return compute().persist(StorageLevel.MEMORY_AND_DISK)
+            out = compute().persist(StorageLevel.MEMORY_AND_DISK)
+            if materialize:
+                # Materialize the cache NOW, in ONE single-consumer job.
+                # Consumers that run concurrently (AQE materializes
+                # independent union branches / the two rewrite broadcast
+                # builds in parallel threads) otherwise RACE to fill the
+                # same pending cache blocks and serialize on the
+                # BlockManager's per-block write locks — measured on the
+                # sf0.1 event log as task run-time ≈ 4× task CPU-time in
+                # every stage above an unmaterialized persist.
+                out.count()
+            return out
         return run_stage(spark, root, name, compute, force=force, **kw)
 
     docs = stage("docs_interleaved", lambda: synthesize_interleaved(spark, sf_dir))
-    assert_span_integrity(docs)
-    mentions = stage("mentions", lambda: detect_mentions(docs))
-    links = stage("entity_links", lambda: link_entities(mentions, spark, sf_dir))
+    assert_span_integrity(docs)  # materializes the docs cache (single consumer)
+    # mentions/links: their consumers are 2-branch unions evaluated
+    # concurrently by AQE — materialize each ONCE so the Python-UDF
+    # chain never races (see stage()); raw is materialized by the CC
+    # convergence fingerprint below in one non-racing query.
+    mentions = stage("mentions", lambda: detect_mentions(docs), materialize=True)
+    links = stage(
+        "entity_links", lambda: link_entities(mentions, spark, sf_dir), materialize=True
+    )
     raw = stage("raw_triples", lambda: mention_triples(links))
 
     def compute_canon():
@@ -355,7 +394,9 @@ def build_kg(
             sameas, alias_prefix=EX + "entity/", check_every=1
         )
 
-    canon = stage("canonical_map", compute_canon)
+    # canon: consumed by TWO broadcast builds (subj + obj rewrite) that
+    # run in parallel threads — materialize once before they race
+    canon = stage("canonical_map", compute_canon, materialize=True)
     final = rewrite_triples_canonical(
         raw.filter(F.col("pred") != OWL_SAMEAS), canon
     ).dropDuplicates(["subj", "pred", "obj", "obj_datatype", "obj_lang"])
