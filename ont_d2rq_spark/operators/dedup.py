@@ -17,6 +17,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -69,10 +70,113 @@ def shingles(text_col, n: int = 3):
     )
 
 
+def shingle_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """→ (id, sh: array<string>) — the same distinct word-n-gram set as
+    :func:`shingles`, but built by a vectorized Arrow UDF over
+    JVM-normalized text.
+
+    Why not pure Catalyst: the shingle expression is a
+    transform/slice/array_distinct chain of higher-order functions —
+    all CodegenFallback, evaluated interpreted, and (worse) re-inlined
+    wherever projection collapse duplicates the column (guide §4.1/4.2).
+    Measured at sf0.1 the interpreted array build costs 3-5 s per
+    evaluation vs ~0.6 s through Arrow.  Normalization stays JVM-side
+    (regexp/trim/lower Java semantics are the oracle contract); the
+    Python side only splits on the single spaces the normalizer
+    guarantees and joins with single spaces, so the produced shingle
+    sets are byte-identical to the Catalyst expression (pinned by
+    tests/test_dedup_similarity.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = shingle_n
+
+    @pandas_udf("array<string>")
+    def _grams(nt: pd.Series) -> pd.Series:
+        def g(s):
+            toks = s.split(" ")
+            m = max(len(toks) - n, 0) + 1
+            return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(m)))
+
+        return nt.map(g, na_action="ignore")
+
+    # pure function, but mark non-deterministic so the optimizer never
+    # duplicates the ArrowEvalPython node around pushed filters (§4.4)
+    _grams = _grams.asNondeterministic()
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("nt")
+        )
+    )
+    return base.select("id", _grams(F.col("nt")).alias("sh"))
+
+
 # Mersenne prime 2^31-1: keeps every product a_j*h below 2^62, so the
 # permutation arithmetic stays exact in 64-bit integers on BOTH engines
 # (Spark BIGINT and DuckDB BIGINT compute bit-identical results).
 MINHASH_PRIME = 2147483647
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python XXH64 (public algorithm, Collet 2012; same constants as
+# Spark's XxHash64Function) — lets the Arrow-vectorized minhash prep
+# compute the xxhash64 hash family per row without the JVM k-min
+# aggregate.  Bit-equality with F.xxhash64 is pinned by
+# tests/test_dedup_similarity.py over corpus shingles + edge strings.
+# ---------------------------------------------------------------------------
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` — returns the SIGNED 64-bit value Spark's
+    ``F.xxhash64`` produces (seed default 42 matches Spark's)."""
+    rotl = lambda x, r: ((x << r) | (x >> (64 - r))) & _M64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            v1 = (rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            v2 = (rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            v3 = (rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            v4 = (rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * _XP2) & _M64, 31) * _XP1) & _M64
+            h = (h * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (rotl((int.from_bytes(data[i : i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (rotl(h ^ k, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = (rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _XP1) & _M64), 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * _XP5) & _M64), 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def minhash_perm_coeffs(num_hashes: int, salt: str = "minhash") -> list:
@@ -97,6 +201,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """→ (id, sig: array<bigint>) — sig[j] = min over shingles of
     hash_j(shingle).
@@ -117,11 +222,19 @@ def minhash_signatures(
     carries one k-wide row per (id, partition) — NOT one row per
     shingle.  (A single wide projection of k array_min(transform(...))
     expressions looks cheaper but Catalyst's projection collapse
-    re-inlines the shingle computation k times — measured 40× slower.)"""
-    ex = (
-        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
-        .select("id", F.explode(shingles(F.col("t"), shingle_n)).alias("s"))
-    )
+    re-inlines the shingle computation k times — measured 40× slower.)
+
+    ``shingle_frame``: an (id, sh) frame from :func:`shingle_arrays` to
+    explode instead of recomputing the shingle sets — minhash_dedup
+    passes its checkpointed copy so signatures and verification share
+    ONE shingling pass."""
+    if shingle_frame is not None:
+        ex = shingle_frame.select("id", F.explode("sh").alias("s"))
+    else:
+        ex = (
+            spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+            .select("id", F.explode(shingles(F.col("t"), shingle_n)).alias("s"))
+        )
     p = F.lit(MINHASH_PRIME)
     if hash_family == "md5":
         ex = ex.select("id", F.md5("s").alias("m")).select(
@@ -147,11 +260,111 @@ def minhash_signatures(
     return agg.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
 
 
+def minhash_prep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """→ (id, sh: array<string>, buckets: array<…>) — shingle set,
+    minhash signature and LSH band buckets computed in ONE Arrow pass,
+    per row, with zero shuffles.
+
+    Why: every shingle of a document already lives in one row, so the
+    explode → groupBy(id) k-min aggregate only re-groups what was never
+    apart — and its k-wide generated aggregate costs ~6 s of
+    codegen+JIT per session before the first row flows (measured on a
+    10-row input).  Here the per-row k mins are one numpy
+    (k × n_shingles) matmul-mod, and the hash families are bit-exact
+    twins of the JVM/oracle functions: hashlib.md5 ≡ F.md5 ≡ DuckDB
+    md5, and :func:`xxh64` ≡ F.xxhash64 (pinned by tests).  buckets[b]
+    is the band-b bucket (md5 hex string / xxhash64 long), identical to
+    minhash_lsh_candidates' banding values."""
+    import numpy as np
+
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes
+    coeffs = minhash_perm_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    p = MINHASH_PRIME
+    n = shingle_n
+    md5_family = hash_family == "md5"
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[id_col]
+    bucket_type = "string" if md5_family else "bigint"
+    schema = f"id {id_type}, sh array<string>, buckets array<{bucket_type}>"
+
+    def gen(batches):
+        import hashlib
+
+        seed1 = (1).to_bytes(4, "little")
+        seed2 = (2).to_bytes(4, "little")
+
+        def hash_pair(g: str):
+            if md5_family:
+                m = hashlib.md5(g.encode("utf-8")).hexdigest()
+                return int(m[0:15], 16) % p, int(m[16:31], 16) % p
+            base = xxh64(g.encode("utf-8"), 42) & _M64
+            return xxh64(seed1, base) % p, xxh64(seed2, base) % p
+
+        def bucket(key: str):
+            if md5_family:
+                return hashlib.md5(key.encode("utf-8")).hexdigest()
+            return xxh64(key.encode("utf-8"), 42)
+
+        for pdf in batches:
+            shs, bks = [], []
+            for s in pdf["nt"]:
+                if s is None:
+                    shs.append(None)
+                    bks.append(None)
+                    continue
+                toks = s.split(" ")
+                m = max(len(toks) - n, 0) + 1
+                g = list(
+                    dict.fromkeys(" ".join(toks[i : i + n]) for i in range(m))
+                )
+                pairs = [hash_pair(x) for x in g]
+                H1 = np.array([h1 for h1, _ in pairs], dtype=np.int64)
+                H2 = np.array([h2 for _, h2 in pairs], dtype=np.int64)
+                sig = ((A * H1 + B * H2) % p).min(axis=1)
+                bks.append(
+                    [
+                        bucket(
+                            ",".join(
+                                str(x)
+                                for x in sig[b * rows_per_band : (b + 1) * rows_per_band]
+                            )
+                        )
+                        for b in range(bands)
+                    ]
+                )
+                shs.append(g)
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {"id": pdf["id"], "sh": shs, "buckets": bks}
+            )
+
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("nt")
+        )
+    )
+    return base.mapInPandas(gen, schema)
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
     hash_family: str = "xxhash64",
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair.
     → (id_a, id_b) distinct, id_a < id_b."""
@@ -179,6 +392,16 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # The self-join's two sides are one shuffle exchange and one
+    # broadcast exchange over the SAME subplan — exchange reuse cannot
+    # unify the two kinds, so without materialization the entire
+    # signature pipeline (shingle → hash → k-min aggregate) runs TWICE,
+    # in parallel racing jobs (event-log-measured as the two dominant
+    # jobs of the bench query).  An eager localCheckpoint computes the
+    # banded frame once ((id, band, bucket) rows only — b rows/doc,
+    # narrow) and both join sides read the stored blocks.
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -205,13 +428,32 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact
     Jaccard verification over shingle sets → (id_a, id_b, jaccard).
-    Verification joins the shingle arrays back only for candidates."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_family)
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, hash_family)
-    sh = spread(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    ).select("id", shingles(F.col("t"), shingle_n).alias("sh"))
+    Verification joins the shingle arrays back only for candidates.
+
+    Shape (r7): shingles + signature + band buckets come from ONE
+    Arrow pass (:func:`minhash_prep` — per-row numpy k-mins, bit-exact
+    hash twins), eagerly localCheckpointed so the banding self-join's
+    two sides and BOTH verification join sides read stored blocks
+    instead of re-running the pipeline (the old explode → k-min-agg →
+    self-join plan evaluated the whole signature chain once per join
+    side plus once per verification side, and its k-wide generated
+    aggregate cost ~6 s of codegen/JIT per session)."""
+    prep = minhash_prep(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_family
+    ).localCheckpoint(eager=True)
+    banded = prep.select("id", F.posexplode("buckets").alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = prep.select("id", "sh")
     joined = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")

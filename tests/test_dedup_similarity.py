@@ -257,3 +257,65 @@ def test_lsh_verify_join_broadcast_cap_guarded(spark):
         assert "ResolvedHint" not in lp and "broadcast" not in lp.lower()
     finally:
         S.CAND_BROADCAST_CAP = old
+
+
+def test_xxh64_python_matches_spark(spark):
+    """r7: the pure-Python XXH64 used by minhash_prep must be
+    bit-identical to F.xxhash64 — both the direct string hash (seed 42)
+    and the chained (string, int-literal) form the xxhash64 minhash
+    family uses."""
+    cases = [
+        "", "a", "abc", "hello world", "x" * 7, "y" * 8, "z" * 9,
+        "q" * 31, "w" * 32, "e" * 33, "r" * 100, "üñïçödé ê",
+        "tab\tnl\n", "the quick brown", "0123456789abcdef" * 3,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    rows = df.select(
+        "s",
+        F.xxhash64("s").alias("h42"),
+        F.xxhash64("s", F.lit(1)).alias("h1"),
+        F.xxhash64("s", F.lit(2)).alias("h2"),
+    ).collect()
+    for r in rows:
+        b = r["s"].encode("utf-8")
+        base = D.xxh64(b, 42)
+        assert base == r["h42"]
+        assert D.xxh64((1).to_bytes(4, "little"), base & D._M64) == r["h1"]
+        assert D.xxh64((2).to_bytes(4, "little"), base & D._M64) == r["h2"]
+
+
+@pytest.mark.parametrize("fam", ["xxhash64", "md5"])
+def test_minhash_prep_matches_jvm_banding(docs, fam):
+    """r7: minhash_prep's per-row Arrow signature+banding must produce
+    the exact (id, band, bucket) set the JVM explode → k-min-agg →
+    banding pipeline produces, for both hash families, and the shingle
+    sets must equal the Catalyst shingles() expression."""
+    sigs = D.minhash_signatures(docs, hash_family=fam)
+    bucket_fn = F.md5 if fam == "md5" else F.xxhash64
+    jvm = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bucket_fn(
+                            F.concat_ws(
+                                ",",
+                                *[F.col("sig")[b * 4 + r].cast("string") for r in range(4)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(16)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    prep = D.minhash_prep(docs, hash_family=fam)
+    py = prep.select("id", F.posexplode("buckets").alias("band", "bucket"))
+    assert jvm.exceptAll(py).count() == 0 and py.exceptAll(jvm).count() == 0
+    sh_jvm = docs.select(
+        F.col("doc_id").alias("id"), D.shingles(F.col("text"), 3).alias("sh")
+    )
+    joined = prep.select("id", "sh").alias("a").join(sh_jvm.alias("b"), "id")
+    assert joined.filter(F.col("a.sh") != F.col("b.sh")).count() == 0
