@@ -555,23 +555,21 @@ def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-k (k=5) for the first 10 query vectors —
     the exact baseline for ANN.  JVM-side: zip_with + aggregate, no UDF.
     Broadcast the tiny query side; scores rounded to 6 dp for the oracle."""
+    from ont_d2rq_spark.operators.similarity import cosine_arrow
+
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
-    dot = F.aggregate(
-        F.zip_with("emb", "q_emb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
     pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    # r7: fold-order-exact Arrow cosine (same doubles as the former
+    # interpreted zip_with/aggregate expressions; round stays JVM-side)
     scored = pairs.select(
         "q_id",
         "vec_id",
-        F.round(dot / (norm(F.col("emb")) * norm(F.col("q_emb"))), 6).alias("cosine"),
+        F.round(cosine_arrow(F.col("emb"), F.col("q_emb")), 6).alias("cosine"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

@@ -90,6 +90,17 @@ def get_spark(
         .config("spark.speculation", "true")
         .config("spark.speculation.quantile", "0.75")
         .config("spark.speculation.multiplier", "2")
+        # Whole-stage codegen for wide fused plans (the one-scan dump
+        # unions dozens of mint expressions) emits methods beyond
+        # HotSpot's DontCompileHugeMethods bytecode cap; those methods
+        # then run INTERPRETED for the whole job.  Allowing the JIT to
+        # compile huge methods is a standard Spark deployment setting;
+        # A/B at sf0.1 (5 alternating fresh-session rounds): distinct
+        # dump median 15.0 s -> 8.9 s, and the slow tail collapses.
+        # Same flag on the executor side for cluster deployments
+        # (local-mode executors live in the driver JVM).
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -52,7 +52,9 @@ def rowset(df_pandas):
 
 
 def main():
-    sf_dir = "/root/testdata/sf0.01"
+    import os
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
     from ont_d2rq_spark.session import get_spark
