@@ -171,9 +171,37 @@ class MappingCompiler:
             spark.sql(sql)
 
     # ---------------- table access ----------------------------------
+    def prefetch_tables(self, names=None) -> None:
+        """Open every mapped table concurrently (guide §2.6: overlap
+        independent driver work).  Each first `spark.read...load()`
+        runs a small schema/footer job plus driver-side planning; done
+        serially that cascade fronts every dump with one gap+job per
+        table.  DataFrameReader is thread-safe; results land in the
+        table cache from the main thread via the futures."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if names is None:
+            names = {cm.table for cm in self.mapping.class_maps.values()}
+            for a in (
+                al for cm in self.mapping.class_maps.values() for al in cm.alias
+            ):
+                names.add(a.split()[0])
+        todo = [n for n in dict.fromkeys(names) if n not in self._table_cache]
+        if len(todo) < 2:
+            return
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+            futs = {n: pool.submit(self._open_table, n) for n in todo}
+            for n, f in futs.items():
+                self._table_cache.setdefault(n, f.result())
+
     def table(self, name: str) -> DataFrame:
         if name in self._table_cache:
             return self._table_cache[name]
+        df = self._open_table(name)
+        self._table_cache[name] = df
+        return df
+
+    def _open_table(self, name: str) -> DataFrame:
         if name in self.extra_tables:
             df = self.extra_tables[name]
         else:
@@ -200,7 +228,6 @@ class MappingCompiler:
                     df = df.withColumn(c, F.rtrim(F.col(c).cast("string")))
                 else:
                     df = df.withColumn(c, F.col(c).cast(_XSD_CAST[xsd]))
-        self._table_cache[name] = df
         return df
 
     def column_type(self, qcol: str, aliases: dict[str, str]) -> T.DataType:
@@ -744,6 +771,10 @@ class MappingCompiler:
             bridge; dims are broadcast, the fact side never shuffles.
         Bridges with order/limit/distinct, multi-hop or un-hinted joins
         evaluate standalone (rare; never the hot fact path)."""
+        self.prefetch_tables(
+            {cb.base_table for cb in bridges}
+            | {cb.aliases.get(t, t) for cb in bridges for j in cb.joins for t in j.tables()}
+        )
         by_key: dict = {}
         singles: list[CompiledBridge] = []
         for cb in bridges:

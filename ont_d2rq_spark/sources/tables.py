@@ -31,6 +31,20 @@ def _path_bytes(path: str) -> int:
     return total
 
 
+_BYTE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size string ('128m', '1g', '134217728', '128mb') → bytes."""
+    s = str(v).strip().lower().removesuffix("b")
+    if s and s[-1] in _BYTE_SUFFIX:
+        return int(float(s[:-1]) * _BYTE_SUFFIX[s[-1]])
+    try:
+        return int(s)
+    except ValueError:
+        return 128 << 20
+
+
 _EXT_FORMAT = {
     ".parquet": "parquet",
     ".orc": "orc",
@@ -74,10 +88,21 @@ def balanced_read(
     df = reader.load(path)
     if target_partitions is None:
         target_partitions = spark.sparkContext.defaultParallelism
-    try:
-        n_parts = df.rdd.getNumPartitions()
-    except Exception:
+    # Estimate the scan's split count from on-disk bytes instead of
+    # materializing df.rdd (each .rdd call converts the whole logical
+    # plan to a physical RDD DAG — several hundred ms of driver/py4j
+    # work PER TABLE, measured as the serial job cascade at the front
+    # of every dump).  A file-source scan packs splits of
+    # maxPartitionBytes (+ openCostInBytes per file), so splits ≈
+    # ceil(bytes / maxPartitionBytes) — exact for the single-file
+    # tables this engine maps, conservative for directories.
+    total = _path_bytes(path)
+    if total < min_split_bytes:
         return df
-    if n_parts >= target_partitions or _path_bytes(path) < min_split_bytes:
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_splits = max(1, -(-total // max_split))
+    if est_splits >= target_partitions:
         return df
     return df.repartition(target_partitions)
