@@ -76,6 +76,31 @@ def balanced_read(
         base = path[:-1] if path.endswith("/") else path
         fmt = _EXT_FORMAT.get(os.path.splitext(base)[1].lower(), "parquet")
     opts = dict(options or {})
+    # Session-scoped handle cache: every fresh VirtualGraph/compiler
+    # re-opened its tables, and each first load() runs a schema/footer
+    # job plus driver planning.  A DataFrame is an immutable lazy plan,
+    # so the handle is safely shared; the key carries the source's
+    # (mtime, size) so a rewritten path is re-opened (a cached scan
+    # pins its file listing).  This caches PLANS, never results.
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    cache = getattr(spark, "_balanced_read_cache", None)
+    if cache is None:
+        cache = spark._balanced_read_cache = {}
+    key = (
+        path,
+        fmt,
+        schema,
+        tuple(sorted(opts.items())),
+        min_split_bytes,
+        target_partitions,
+        stamp,
+    )
+    if stamp is not None and key in cache:
+        return cache[key]
     if fmt == "csv":
         opts.setdefault("header", "true")
         if path.rstrip("/").endswith(".tsv"):
@@ -96,13 +121,18 @@ def balanced_read(
     # maxPartitionBytes (+ openCostInBytes per file), so splits ≈
     # ceil(bytes / maxPartitionBytes) — exact for the single-file
     # tables this engine maps, conservative for directories.
+    def done(out):
+        if stamp is not None:
+            cache[key] = out
+        return out
+
     total = _path_bytes(path)
     if total < min_split_bytes:
-        return df
+        return done(df)
     max_split = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     est_splits = max(1, -(-total // max_split))
     if est_splits >= target_partitions:
-        return df
-    return df.repartition(target_partitions)
+        return done(df)
+    return done(df.repartition(target_partitions))
