@@ -166,7 +166,16 @@ class MappingCompiler:
         self.extra_tables = extra_tables or {}
         self.use_broadcast_hints = use_broadcast_hints
         self._table_cache: dict[str, DataFrame] = {}
-        self._bridge_df_cache: dict[tuple, DataFrame] = {}
+        # LRU-bounded: dataclasses.replace()'d bridge variants (e.g.
+        # per-call limitInverse swaps) have fresh id(cb) keys that never
+        # repeat, so an unbounded dict pins every such plan forever in a
+        # long-lived session (ADVICE r6).  256 entries cover any real
+        # mapping's repeated shapes; eviction just drops a memoized
+        # plan, never correctness.
+        from collections import OrderedDict
+
+        self._bridge_df_cache: OrderedDict[tuple, tuple] = OrderedDict()
+        self._bridge_df_cache_cap = 256
         for sql in mapping.database.startup_sql:
             spark.sql(sql)
 
@@ -718,6 +727,7 @@ class MappingCompiler:
         )
         cached = self._bridge_df_cache.get(key)
         if cached is not None:
+            self._bridge_df_cache.move_to_end(key)
             return cached[1]
         df = self._build_relation(cb)
         for qcol, const in (constraints or {}).items():
@@ -739,6 +749,8 @@ class MappingCompiler:
         if cap is not None:
             out = out.limit(cap)
         self._bridge_df_cache[key] = (cb, out)
+        while len(self._bridge_df_cache) > self._bridge_df_cache_cap:
+            self._bridge_df_cache.popitem(last=False)
         return out
 
     def _n_to_1_joins(self, cb: CompiledBridge) -> bool:

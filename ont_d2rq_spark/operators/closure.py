@@ -67,6 +67,7 @@ def closure_from(
     dst: str = "dst",
     reverse: bool = False,
     max_rounds: int = 64,
+    broadcast_rows: int = 100_000,
 ) -> DataFrame | None:
     """Seeded reachability — all (seed, x) with a directed path
     seed →+ x.  The scale path for a property-path pattern with a BOUND
@@ -94,7 +95,8 @@ def closure_from(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    if frontier.count() == 0:
+    n_reached = frontier.count()
+    if n_reached == 0:
         return frontier.select(F.lit(seed).alias("src"), F.col("n").alias("dst"))
     reached = frontier
     for _ in range(max_rounds):
@@ -105,11 +107,20 @@ def closure_from(
             .join(reached, "n", "left_anti")
             .localCheckpoint(eager=False)
         )
-        if new.count() == 0:
+        n_new = new.count()
+        if n_new == 0:
             out = reached.select(F.lit(seed).alias("src"), F.col("n").alias("dst"))
             if reverse:
                 out = out.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            return F.broadcast(out)  # seeded reach sets are point-lookup sized
+            # The reach set is point-lookup sized for hierarchies, but a
+            # hub seed on a dense graph can reach millions of nodes well
+            # inside the depth cap — an unconditional broadcast hint
+            # would bypass autoBroadcastJoinThreshold and OOM the
+            # driver.  Hint only under the same row cap
+            # transitive_closure uses; the exact count is already paid
+            # for by the per-round convergence checks (ADVICE r6).
+            return F.broadcast(out) if n_reached <= broadcast_rows else out
         reached = reached.unionByName(new).localCheckpoint(eager=False)
+        n_reached += n_new
         frontier = new
     return None  # depth exceeds the cap: caller uses the global closure

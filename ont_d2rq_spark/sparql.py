@@ -199,23 +199,28 @@ def _rewrite_builtins(expr: str) -> str:
     e = re.sub(r"\bsha512\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)", r"sha2(\1, 512)", e, flags=re.I)
     # date/time accessors over xsd:dateTime/xsd:date lexical forms
     # (node values are lexical strings; Spark's timestamp cast accepts
-    # the ISO 'T' separator).  TZ returns the timezone designator
-    # substring ('' when absent, 'Z' kept as written, per fn:timezone's
-    # lexical cousin)
+    # the ISO 'T' separator).  SPARQL 17.4.5 / the XPath accessors
+    # return the component of the value IN ITS OWN TIMEZONE — but
+    # cast(x as timestamp) converts zone-qualified lexical forms (the
+    # ubiquitous 'Z', or '±hh:mm') into the SESSION timezone first,
+    # shifting every component (hour(cast('…T14:45:13-05:00')) = 19
+    # under UTC where the spec answer is 14).  Strip the designator
+    # before the cast so components are read verbatim (ADVICE r6).
+    _strip_tz = r"regexp_replace(\1, '(Z|[+-][0-9]{2}:[0-9]{2})$', '')"
     for sp_fn, sql_fn in (
         ("year", "year"), ("month", "month"), ("day", "day"),
         ("hours", "hour"), ("minutes", "minute"),
     ):
         e = re.sub(
             rf"\b{sp_fn}\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)",
-            rf"{sql_fn}(cast(\1 as timestamp))",
+            rf"{sql_fn}(cast({_strip_tz} as timestamp))",
             e,
             flags=re.I,
         )
     # SECONDS returns xsd:decimal (fractional seconds survive)
     e = re.sub(
         r"\bseconds\s*\(\s*((?:[^,()]|\([^)]*\))+?)\s*\)",
-        r"(cast(date_format(cast(\1 as timestamp), 'ss.SSS') as decimal(9,3)))",
+        rf"(cast(date_format(cast({_strip_tz} as timestamp), 'ss.SSS') as decimal(9,3)))",
         e,
         flags=re.I,
     )
