@@ -501,36 +501,55 @@ def simhash_signatures_md5(
     identical value — `conv(hex,16,10)` here, `'0x…'::BIGINT` there),
     so the driver oracle replays the signature bit-for-bit.
 
-    Shape: explode distinct tokens (md5 computed ONCE per token) →
-    groupBy(id) with `bits` conditional ±1 sums (map-side partial agg)
-    → signature assembled from the sign of each bit sum.  One shuffle,
-    keyed on doc id — scale-equivalent to the xxhash64 path."""
+    Shape (r7): ONE Arrow pass, per row — every distinct token of a
+    document already lives in its row, so the old explode →
+    groupBy(id) with `bits` conditional ±1 sums only re-grouped
+    per-row data, and its 60-wide generated aggregate carried the same
+    multi-second codegen/JIT constant the minhash aggregate did.
+    hashlib.md5 is the bit-exact twin of F.md5/conv (pinned by the
+    simhash_near_dup oracle row and test_simhash_md5_prep_parity);
+    the per-bit majority is one numpy (n_tokens × bits) reduction."""
     assert bits <= 60
-    ex = (
-        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
-        .select(
-            "id",
-            F.explode(
-                F.array_distinct(F.split(normalize_text(F.col("t")), " "))
-            ).alias("w"),
-        )
-        .select(
-            "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+    import numpy as np
+
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[id_col]
+
+    def gen(batches):
+        import hashlib
+
+        shifts = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            sigs = []
+            for s in pdf["nt"]:
+                if s is None:
+                    sigs.append(None)
+                    continue
+                toks = list(dict.fromkeys(s.split(" ")))
+                H = np.array(
+                    [
+                        int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                        for w in toks
+                    ],
+                    dtype=np.int64,
+                )
+                votes = (((H[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+                sigs.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+            import pandas as _pd
+
+            yield _pd.DataFrame({"id": pdf["id"], "simhash": sigs})
+
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("nt")
         )
     )
-    sums = ex.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{i}")
-            for i in range(bits)
-        ]
+    # null text produced no exploded token rows (no signature) in the
+    # aggregate formulation — drop it here too
+    return base.mapInPandas(gen, f"id {id_type}, simhash bigint").filter(
+        F.col("simhash").isNotNull()
     )
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return sums.select("id", sig.alias("simhash"))
 
 
 def hamming_distance(a, b):
@@ -561,6 +580,10 @@ def simhash_candidates(sigs: DataFrame, max_hamming: int = 3, bits: int = 64) ->
             )
         ).alias("p"),
     ).select("id", "simhash", "p.q", "p.part")
+    # materialize once: the self-join's shuffle + broadcast sides would
+    # otherwise evaluate the signature subplan twice (exchange reuse
+    # cannot unify the two exchange kinds)
+    parts = parts.localCheckpoint(eager=True)
     a, b = parts.alias("a"), parts.alias("b")
     return (
         a.join(

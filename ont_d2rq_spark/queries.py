@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -597,17 +598,39 @@ SELECT q_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidate pairs by token-3-gram Jaccard ≥ 0.35 (exact
-    set-based similarity; the verification step LSH candidates feed)."""
+    set-based similarity; the verification step LSH candidates feed).
+
+    r7 shape: the gram sets come from one Arrow pass (the Catalyst
+    transform/slice/array_distinct chain is interpreted CodegenFallback
+    and was re-evaluated once per self-join side), eagerly
+    checkpointed; the self-join then reads stored (doc_id, gram,
+    n_grams) rows.  Python's str.split(' ') is the exact twin of
+    F.split(text, ' ') for a literal single-space separator (both keep
+    empty tokens), so the gram SETS are identical — pinned by the
+    ngram_jaccard_pairs oracle row."""
+
+    @F.pandas_udf("array<string>")
+    def _grams3(texts: pd.Series) -> pd.Series:
+        def g(s):
+            toks = s.split(" ")
+            if len(toks) < 3:
+                return None
+            return list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                )
+            )
+
+        return texts.map(g, na_action="ignore")
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        )
+    gr = (
+        d.select("doc_id", _grams3.asNondeterministic()(F.col("text")).alias("grams"))
+        .filter(F.col("grams").isNotNull())
+        .localCheckpoint(eager=True)
     )
-    g = d.filter(F.size(toks) >= 3).select(
-        "doc_id", F.explode(grams).alias("gram"), F.size(grams).alias("n_grams")
+    g = gr.select(
+        "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams")
     )
     pairs = (
         g.alias("a")

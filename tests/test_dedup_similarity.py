@@ -319,3 +319,35 @@ def test_minhash_prep_matches_jvm_banding(docs, fam):
     )
     joined = prep.select("id", "sh").alias("a").join(sh_jvm.alias("b"), "id")
     assert joined.filter(F.col("a.sh") != F.col("b.sh")).count() == 0
+
+
+def test_simhash_md5_prep_parity(docs, spark):
+    """r7: the per-row Arrow simhash signature must equal the former
+    explode -> 60-sum aggregate formulation bit-for-bit."""
+    got = {r["id"]: r["simhash"] for r in D.simhash_signatures_md5(docs).collect()}
+    bits = 60
+    ex = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.array_distinct(F.split(D.normalize_text(F.col("text")), " "))
+            ).alias("w"),
+        )
+        .select("id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h"))
+    )
+    sums = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    want = {r["id"]: r["simhash"] for r in sums.select("id", sig.alias("simhash")).collect()}
+    assert got == want
