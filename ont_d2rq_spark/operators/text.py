@@ -162,27 +162,58 @@ def winnow_fingerprints(
     least one shared fingerprint for any common substring of length ≥
     k + window − 1 — the partial-overlap detector exact-dup md5 can't be.
 
-    Pure Catalyst (SQL transform lambdas), md5-derived 60-bit hashes so
-    the DuckDB oracle replays it exactly.  Docs shorter than
-    k + window − 1 chars produce no fingerprints.
-    → (doc_id, fp) one row per distinct fingerprint."""
+    md5-derived 60-bit hashes so the DuckDB oracle replays it exactly.
+    Docs shorter than k + window − 1 chars produce no fingerprints.
+    → (doc_id, fp) one row per distinct fingerprint.
+
+    r7 shape: normalization stays Catalyst (Java regex semantics are
+    the oracle contract); the per-position k-gram hashing + window
+    minima run in ONE Arrow pass — the former transform/slice chain
+    evaluated one interpreted md5 per CHARACTER plus a window-slice
+    array_min per position (CodegenFallback throughout).
+    hashlib.md5(int hex) is the bit-exact twin of
+    conv(substr(md5(…),1,15),16,10); Spark's substring/length count
+    code points exactly as Python slicing does; the rolling minimum is
+    a numpy sliding-window reduction.  Parity pinned by
+    tests/test_dedup_similarity.py::test_winnow_prep_parity and the
+    doc_winnow oracle row."""
+    import pandas as pd
+
     from ont_d2rq_spark.operators.dedup import spread
 
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     # per-char k-gram hashing is CPU-explosive: spread an under-split
-    # source across cores before the transform chain
-    base = spread(df.select(F.col(id_col), norm.alias("nt"))).filter(
+    # source across cores before the hashing pass
+    base = spread(df.select(F.col(id_col).alias("id"), norm.alias("nt"))).filter(
         F.length("nt") >= k + window - 1
     )
-    hashes = F.expr(
-        f"transform(sequence(0, length(nt) - {k}), "
-        f"i -> cast(conv(substr(md5(substring(nt, i + 1, {k})), 1, 15), 16, 10) as bigint))"
-    )
-    mins = F.expr(
-        f"transform(sequence(0, size(hs) - {window}), "
-        f"j -> array_min(slice(hs, j + 1, {window})))"
-    )
+    id_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
+        id_col
+    ]
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            fps = []
+            for s in pdf["nt"]:
+                H = np.array(
+                    [
+                        int(
+                            hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        for i in range(len(s) - k + 1)
+                    ],
+                    dtype=np.int64,
+                )
+                mins = np.lib.stride_tricks.sliding_window_view(H, window).min(axis=1)
+                fps.append([int(x) for x in dict.fromkeys(mins.tolist())])
+            yield pd.DataFrame({"id": pdf["id"], "fps": fps})
+
     return (
-        base.withColumn("hs", hashes)
-        .select(id_col, F.explode(F.array_distinct(mins)).alias("fp"))
+        base.mapInPandas(gen, f"id {id_type}, fps array<bigint>")
+        .select(F.col("id").alias(id_col), F.explode("fps").alias("fp"))
     )

@@ -351,3 +351,28 @@ def test_simhash_md5_prep_parity(docs, spark):
         sig = term if sig is None else sig + term
     want = {r["id"]: r["simhash"] for r in sums.select("id", sig.alias("simhash")).collect()}
     assert got == want
+
+
+def test_winnow_prep_parity(spark):
+    """r7: the Arrow winnowing pass must reproduce the former Catalyst
+    transform-chain fingerprints exactly."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k, window = 8, 4
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    base = docs.select(F.col("doc_id"), norm.alias("nt")).filter(
+        F.length("nt") >= k + window - 1
+    )
+    hashes = F.expr(
+        f"transform(sequence(0, length(nt) - {k}), "
+        f"i -> cast(conv(substr(md5(substring(nt, i + 1, {k})), 1, 15), 16, 10) as bigint))"
+    )
+    mins = F.expr(
+        f"transform(sequence(0, size(hs) - {window}), "
+        f"j -> array_min(slice(hs, j + 1, {window})))"
+    )
+    old = (
+        base.withColumn("hs", hashes)
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+    new = TX.winnow_fingerprints(docs, k=k, window=window)
+    assert old.exceptAll(new).count() == 0 and new.exceptAll(old).count() == 0
