@@ -56,6 +56,24 @@ HUB_EXTRA = 120  # extra mention spans per hub
 # ⓪ deterministic synthesis of the interleaved table (FIXTURES.md §2)
 # ---------------------------------------------------------------------------
 
+def _parquet_rows(path: str, spark: SparkSession) -> int:
+    """Exact row count from parquet footer metadata — driver-side file
+    reads only, no Spark job (the count() it replaces was
+    metadata-only too, but still cost a job + plan per call).  Falls
+    back to a Spark count for non-local paths."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return spark.read.parquet(path).count()
+
 def synthesize_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id,text) → docs_interleaved(doc_id, spans).
 
@@ -70,7 +88,7 @@ def synthesize_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = balanced_read(
         spark, f"{sf_dir}/documents.parquet", min_split_bytes=64 << 10
     ).select(F.col("doc_id").alias("_did"), "text")
-    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    n_cust = _parquet_rows(f"{sf_dir}/customer.parquet", spark)
 
     toks = F.split(F.col("text"), " ")
     n_chunks = F.greatest(F.ceil(F.size(toks) / CHUNK).cast("int"), F.lit(1))
@@ -358,14 +376,18 @@ def build_kg(
         rewrite_triples_canonical,
     )
 
-    def stage(name, compute, materialize=False, **kw):
+    def stage(name, compute, materialize=False, persist=True, **kw):
         if root is None:
-            # uncheckpointed mode: persist instead — each stage output is
-            # consumed by 2+ downstream stages (integrity + mentions;
-            # sameAs edges + rewrite source) and would otherwise re-run
-            # the synthesis/UDF chain per consumer
+            # uncheckpointed mode: persist only MULTI-consumer stages
+            # (docs: integrity + mentions; raw: sameAs edges + rewrite
+            # source; canon: both rewrite broadcasts).  Since the r7
+            # one-pass rewrites, mentions and links are single-consumer
+            # links in a linear chain — persisting them would store
+            # blocks nobody re-reads and add a materialization job each.
             from pyspark import StorageLevel
 
+            if not persist:
+                return compute()
             out = compute().persist(StorageLevel.MEMORY_AND_DISK)
             if materialize:
                 # Materialize the cache NOW, in ONE single-consumer job.
@@ -381,14 +403,14 @@ def build_kg(
         return run_stage(spark, root, name, compute, force=force, **kw)
 
     docs = stage("docs_interleaved", lambda: synthesize_interleaved(spark, sf_dir))
-    assert_span_integrity(docs)  # materializes the docs cache (single consumer)
-    # mentions/links: their consumers are 2-branch unions evaluated
-    # concurrently by AQE — materialize each ONCE so the Python-UDF
-    # chain never races (see stage()); raw is materialized by the CC
-    # convergence fingerprint below in one non-racing query.
-    mentions = stage("mentions", lambda: detect_mentions(docs), materialize=True)
+    assert_span_integrity(docs)  # materializes the docs cache
+    # mentions/links: single-consumer links of a linear chain since the
+    # one-pass rewrites — no persist; the whole docs→mentions→links→raw
+    # chain materializes ONCE (non-racing: it is one linear query) when
+    # the CC convergence fingerprint below first scans raw.
+    mentions = stage("mentions", lambda: detect_mentions(docs), persist=False)
     links = stage(
-        "entity_links", lambda: link_entities(mentions, spark, sf_dir), materialize=True
+        "entity_links", lambda: link_entities(mentions, spark, sf_dir), persist=False
     )
     raw = stage("raw_triples", lambda: mention_triples(links))
 
