@@ -1,18 +1,21 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 Not in the d2rq reference (its DISTINCT is SURVEY §2.7 U2); these are
-the scale extensions the task brief names.  All hashing is JVM-side
-(`xxhash64`, `md5`, bit ops) — no Python in the row path.
+the scale extensions the task brief names.
 
 Scale notes (100 TB):
   * exact_dedup: one shuffle on a 16-byte digest; map-side partial agg.
-  * minhash_lsh: signatures are computed in one projection (k hashes ×
-    one xxhash64 each over the shingle array via F.transform + min) —
-    no shuffle; banding explodes to b rows/doc and groups on the band
-    hash, so the shuffle volume is b × docs, independent of doc length.
-    Candidate verification re-joins only bucket-mates.
-  * simhash: 64-bit signature via per-bit weighted majority, joined on
-    bands of the signature for hamming-neighbor candidates.
+  * minhash (r7): shingle set, signature and LSH band buckets are one
+    vectorized Arrow pass PER ROW (`minhash_prep`) — zero shuffles
+    before the candidate join; the Python hash kernels (hashlib.md5,
+    pure-Python xxh64) are test-pinned bit-exact twins of the JVM
+    functions, so the md5 family stays end-to-end replayable by the
+    DuckDB oracle.  Banding rows are (id, band, bucket) only; the
+    candidate self-join reads an eagerly checkpointed copy so the prep
+    never runs once per join side.  Verification re-joins only
+    bucket-mates.
+  * simhash: same per-row Arrow shape (md5 family); candidates block
+    on signature quarters (pigeonhole) and verify full hamming.
 """
 
 from __future__ import annotations
