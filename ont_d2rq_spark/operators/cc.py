@@ -56,19 +56,25 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    """Re-orient: every neighbor ≤ u (plus u itself) links to the min."""
+    """Re-orient: every neighbor ≤ u (plus u itself) links to the min.
+
+    The output is already canonically oriented, so no greatest/least
+    re-canonicalization (and its extra distinct EXCHANGE) is needed
+    (r7): with input rows u > v, mn = min over u's neighbors satisfies
+    mn ≤ v for the (v, mn) branch — equality removed by the u ≠ v
+    filter — and mn < u strictly for the (u, mn) branch; every emitted
+    row therefore has u > v already.  (Both star steps preserve the
+    orientation invariant: _large_star emits (v', mn) with
+    v' > orig_u ≥ mn.)  Pinned by test_small_star_orientation."""
     nbrs = e.select("u", "v")  # already u > v
     m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
-    out = (
+    return (
         nbrs.join(m, "u")
         .select(F.col("v").alias("u"), F.col("mn").alias("v"))
         .unionByName(m.select(F.col("u"), F.col("mn").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    return out.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
 
 
 def connected_components(

@@ -85,3 +85,28 @@ def test_rewrite_triples(spark):
         ("A", "p", "A", None, None, False),
         ("A", "p", "lit", None, None, True),
     }
+
+
+def test_small_star_orientation_and_equivalence(spark):
+    """r7: _small_star output rows are already canonically oriented
+    (u > v), so the former greatest/least re-canonicalization pass was
+    an identity — assert both the invariant and set-equality with the
+    old formulation on a random-ish graph."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ont_d2rq_spark.operators.cc import _canon_edges, _large_star, _small_star
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(300)]
+    e = _canon_edges(
+        spark.createDataFrame(rows, "src bigint, dst bigint"), "src", "dst"
+    )
+    for step in (e, _large_star(e)):
+        out = _small_star(step)
+        assert out.filter(F.col("u") <= F.col("v")).count() == 0
+        old = out.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        assert out.exceptAll(old).count() == 0 and old.exceptAll(out).count() == 0
